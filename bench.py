@@ -1,0 +1,98 @@
+"""Benchmark: full VoF step throughput on one TPU chip at ~1M fluid cells.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "cell-updates/s", "vs_baseline": N}
+
+Baseline: the reference's calibrated CPU cost model — 80 cpu-hours per
+(Mcell·s simulated) ≈ 3.5 cell-updates/µs/core aggregate, at its 32-core
+job cap → 1.12e8 cell-updates/s (/root/reference/main.py:205-226;
+BASELINE.md). "Cell-update" = one full solver step of one fluid cell
+(alpha MULES subcycles + momentum + MG-CG pressure solve included).
+
+Env knobs: BENCH_SMALL=1 for a CPU-sized smoke run; BENCH_STEPS,
+BENCH_MESH to override.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
+    from openfoam_tpp_tpu.core.state import CaseParams, init_state
+    from openfoam_tpp_tpu.mesh import build_tank_geometry
+    from openfoam_tpp_tpu.solver.timestep import make_multi_step, make_step
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    # Production-case geometry (case_H0.208_D0.2_flat_R0.004_f1.88) at a
+    # resolution giving ~1e6 fluid cells (BASELINE.json north star).
+    mesh = float(os.environ.get("BENCH_MESH", "0.0085" if small else "0.00185"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "4" if small else "20"))
+    chunk = 2 if small else 5
+
+    H, D, freq, R = 0.208, 0.2, 1.88, 0.004
+    geom = build_tank_geometry(H=H, D=D, mesh=mesh, geo="flat")
+    n_cells = geom.n_fluid_cells
+
+    props = PhysicalProperties()
+    controls = SolverControls()
+    step = make_step(geom, props, controls)
+    multi = jax.jit(make_multi_step(step, chunk))
+    params = CaseParams.make(R=R, freq=freq, duration=20.0)
+    state = init_state(geom, dt0=1e-3)
+
+    # Warmup: compile + let the adaptive dt settle to its CFL level.
+    state, diag = multi(state, params)
+    jax.block_until_ready(state)
+    for _ in range(2 if small else 4):
+        state, diag = multi(state, params)
+    jax.block_until_ready(state)
+
+    t_start = float(np.asarray(state.t))
+    wall0 = time.perf_counter()
+    done = 0
+    while done < n_steps:
+        state, diag = multi(state, params)
+        done += chunk
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - wall0
+    t_end = float(np.asarray(state.t))
+
+    cell_updates_per_sec = n_cells * done / wall
+    sim_rate = (t_end - t_start) / wall                 # sim-seconds per wall-second
+    period = 1.0 / freq
+    secs_per_period = period / max(sim_rate, 1e-30)
+    mcell_s_per_wall_s = (n_cells / 1e6) * sim_rate
+
+    baseline_updates = 1.12e8        # 3.5 cell-updates/us/core * 32 cores
+    result = {
+        "metric": "cell-updates/sec/chip (full VoF step, ~1M cells)",
+        "value": round(cell_updates_per_sec, 1),
+        "unit": "cell-updates/s",
+        "vs_baseline": round(cell_updates_per_sec / baseline_updates, 3),
+        "detail": {
+            "fluid_cells": n_cells,
+            "grid": list(geom.shape),
+            "steps_timed": done,
+            "wall_seconds": round(wall, 3),
+            "mean_dt": round((t_end - t_start) / done, 6),
+            "sim_seconds_per_wall_second": round(sim_rate, 5),
+            "wall_seconds_per_shaking_period": round(secs_per_period, 2),
+            "mcell_sim_seconds_per_wall_second": round(mcell_s_per_wall_s, 5),
+            "baseline_mcell_s_per_wall_s_32core": round(32 / (80 * 3600), 6),
+            "device": str(jax.devices()[0]),
+            "final_courant": float(np.asarray(diag.courant)),
+            "p_iters_last": int(np.asarray(diag.p_iters)),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

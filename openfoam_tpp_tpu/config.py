@@ -1,0 +1,75 @@
+"""Global defaults and physical properties.
+
+Parity: the reference's ``DEFAULTS`` schema (/root/reference/main.py:102-114)
+and phase properties (/root/reference/circularSloshingTank/constant/
+physicalProperties.{water,air}:17-21, phaseProperties:17-19, g:17-18).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Parameter schema of a case. Same keys/semantics as the reference manager:
+#   H        tank (cylinder) height [m]
+#   D        tank diameter [m]
+#   mesh     target cell size [m] (here: uniform Cartesian spacing h)
+#   geo      'flat' | 'cap' (spherical-cap bottom of radius D/2 below z=0)
+#   R        orbital shaking radius [m]
+#   freq     shaking frequency [Hz]
+#   duration simulated time [s]
+#   dt       initial time step [s] (adaptive afterwards)
+#   ramp     soft-start ramp duration [s]; negative => 10% of duration
+#   n_cpus   reference-era CPU count; kept for case-dir compat (unused on TPU)
+DEFAULTS = {
+    "H": 0.1,
+    "D": 0.02,
+    "mesh": 0.002,
+    "geo": "flat",
+    "R": 0.003,
+    "freq": 2.0,
+    "duration": 10.0,
+    "dt": 0.001,
+    "ramp": -1,
+    "n_cpus": 1,
+}
+
+GRAVITY = 9.81  # m/s^2, along -z (constant/g:17-18)
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicalProperties:
+    """Two-phase incompressible properties (phase1 = water, phase2 = air)."""
+
+    rho1: float = 998.2     # water density [kg/m^3]
+    rho2: float = 1.0       # air density [kg/m^3]
+    nu1: float = 1.0e-6     # water kinematic viscosity [m^2/s]
+    nu2: float = 1.48e-5    # air kinematic viscosity [m^2/s]
+    sigma: float = 0.0      # surface tension [N/m]; reference ships sigma=0
+    g: float = GRAVITY
+
+    @property
+    def mu1(self) -> float:
+        return self.rho1 * self.nu1
+
+    @property
+    def mu2(self) -> float:
+        return self.rho2 * self.nu2
+
+
+# Numerical controls, mirroring system/controlDict + fvSolution of the
+# reference template (SURVEY.md §2.3).
+@dataclasses.dataclass(frozen=True)
+class SolverControls:
+    max_co: float = 0.5          # controlDict:47  maxCo
+    max_alpha_co: float = 0.5    # controlDict:49  maxAlphaCo
+    max_dt: float = 1.0          # controlDict:51  maxDeltaT
+    dt_growth: float = 1.2       # OpenFOAM-style damped dt increase
+    n_alpha_subcycles: int = 3   # fvSolution:22   nAlphaSubCycles
+    n_limiter_iters: int = 3     # MULES nLimiterIter default
+    c_alpha: float = 1.0         # fvSchemes:30    interfaceCompression cAlpha 1
+    n_correctors: int = 1        # projection is exact on orthogonal MAC grids;
+                                 # reference nCorrectors=2 compensates lagged H/A
+    p_tol_rel: float = 1e-4      # relative CG tolerance per incremental solve
+    p_tol_abs: float = 1e-8      # fvSolution:46   p_rgh tolerance (scaled)
+    p_max_iters: int = 50
+    write_interval: float = 0.05  # controlDict:32 writeInterval

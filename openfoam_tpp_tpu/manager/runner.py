@@ -1,0 +1,164 @@
+"""Case execution: the TPU replacement for the reference's L3 layer
+(`run_case_local` → make → mpirun foamRun, /root/reference/main.py:333-348,
+Makefile:71-99). The solver runs in-process: a jitted device loop advances
+the state between write times; every `write_interval` of simulated time a
+SimState checkpoint is persisted (time-directory parity, purgeWrite 0) and
+probes are appended. Resume-from-latest is automatic (`startFrom
+latestTime` parity).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
+from openfoam_tpp_tpu.core.state import CaseParams, init_state
+from openfoam_tpp_tpu.manager.cases import load_case_params
+from openfoam_tpp_tpu.mesh import build_tank_geometry
+from openfoam_tpp_tpu.post.probes import ProbeWriter, default_probe_points, sample_cell_field
+from openfoam_tpp_tpu.solver.timestep import StepDiagnostics, make_step
+from openfoam_tpp_tpu.utils.io import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+    to_state,
+)
+
+_MAX_STEPS_PER_WRITE = 4000
+
+
+def _zero_diag():
+    z = jnp.asarray(0.0, jnp.float32)
+    return StepDiagnostics(z, z, z, jnp.asarray(0, jnp.int32), z, z, z)
+
+
+def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE):
+    """Device loop: run steps until t >= t_target (bounded by max_steps)."""
+
+    def advance(state, params, t_target):
+        def cond(carry):
+            s, _, n = carry
+            return jnp.logical_and(s.t < t_target, n < max_steps)
+
+        def body(carry):
+            s, _, n = carry
+            s2, d = step_fn(s, params)
+            return (s2, d, n + 1)
+
+        s, d, n = jax.lax.while_loop(
+            cond, body, (state, _zero_diag(), jnp.asarray(0, jnp.int32))
+        )
+        return s, d, n
+
+    return advance
+
+
+def build_case_geometry(params: dict):
+    return build_tank_geometry(
+        H=params["H"], D=params["D"], mesh=params["mesh"], geo=params["geo"]
+    )
+
+
+# Compiled-solver cache: cases sharing (geometry, physics, controls) reuse
+# one jitted advance function — sweeps over (R, freq) recompile nothing.
+_ADVANCE_CACHE: dict = {}
+
+
+def get_compiled_advance(params: dict, props: PhysicalProperties,
+                         controls: SolverControls):
+    key = (
+        params["H"], params["D"], params["mesh"], params["geo"],
+        props, controls,
+    )
+    hit = _ADVANCE_CACHE.get(key)
+    if hit is None:
+        geom = build_case_geometry(params)
+        step = make_step(geom, props, controls)
+        hit = (geom, jax.jit(make_advance(step)))
+        _ADVANCE_CACHE[key] = hit
+    return hit
+
+
+def run_case(
+    case_dir: str,
+    props: PhysicalProperties = PhysicalProperties(),
+    controls: SolverControls = SolverControls(),
+    log=print,
+    write_checkpoints: bool = True,
+) -> dict:
+    """Run (or resume) a case to its encoded duration. Returns run stats."""
+    params = load_case_params(case_dir)
+    geom, advance = get_compiled_advance(params, props, controls)
+    n_cells = geom.n_fluid_cells
+    log(f"  Mesh: {geom.shape[0]}x{geom.shape[1]}x{geom.shape[2]} grid, "
+        f"{n_cells} fluid cells (h={params['mesh']:g} m, geo={params['geo']})")
+
+    case_params = CaseParams.make(
+        R=params["R"], freq=params["freq"], duration=params["duration"],
+        ramp=params["ramp"],
+    )
+
+    chk = latest_checkpoint(case_dir)
+    if chk is not None:
+        state = to_state(load_checkpoint(chk[1]))
+        log(f"  Resuming from t={chk[0]:.4f} s ({chk[1]})")
+    else:
+        state = init_state(geom, dt0=params["dt"])
+        if write_checkpoints:
+            save_checkpoint(case_dir, state)
+
+    probe_pts = default_probe_points(geom)
+    probes = ProbeWriter(case_dir, probe_pts, "p",
+                         start_time=float(np.asarray(state.t)))
+
+    duration = params["duration"]
+    w = controls.write_interval
+    t_now = float(np.asarray(state.t))
+    first_k = int(np.floor(t_now / w + 1e-9)) + 1
+    targets = [k * w for k in range(first_k, int(round(duration / w)) + 1)]
+
+    wall0 = time.time()
+    steps_total = 0
+    for t_target in targets:
+        state, diag, n = advance(state, case_params, jnp.float32(t_target))
+        steps_total += int(n)
+        if write_checkpoints:
+            save_checkpoint(case_dir, state)
+        p_vals = sample_cell_field(state.p, probe_pts, geom)
+        probes.append(float(np.asarray(state.t)), np.asarray(p_vals))
+        log(
+            f"Time = {float(np.asarray(state.t)):.6g} s  "
+            f"dt = {float(np.asarray(state.dt)):.3e}  "
+            f"Co = {float(diag.courant):.3f}  alphaCo = {float(diag.alpha_courant):.3f}  "
+            f"p: iters {int(diag.p_iters)}, res {float(diag.p_residual):.2e}  "
+            f"alpha in [{float(diag.alpha_min):.4f}, {float(diag.alpha_max):.4f}]"
+        )
+
+    wall = time.time() - wall0
+    sim_time = float(np.asarray(state.t)) - t_now
+    stats = {
+        "n_cells": n_cells,
+        "steps": steps_total,
+        "wall_seconds": wall,
+        "sim_seconds": sim_time,
+        "cell_steps_per_sec": n_cells * steps_total / max(wall, 1e-9),
+    }
+    log(
+        f"  Done: {steps_total} steps / {sim_time:.3g} s simulated in "
+        f"{wall:.1f} s wall ({stats['cell_steps_per_sec']:.3g} cell-updates/s)"
+    )
+    return stats
+
+
+def iterate_snapshots(case_dir: str):
+    """Yield (t, alpha) from all checkpoints — feeds post/interface.py."""
+    from openfoam_tpp_tpu.utils.io import list_checkpoints
+
+    for t, path in list_checkpoints(case_dir):
+        payload = load_checkpoint(path)
+        yield t, payload["alpha"]

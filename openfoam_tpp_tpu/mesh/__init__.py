@@ -1,0 +1,5 @@
+from openfoam_tpp_tpu.mesh.geometry import (  # noqa: F401
+    TankGeometry,
+    build_tank_geometry,
+    build_box_geometry,
+)

@@ -1,0 +1,80 @@
+"""Multi-chip scale-out via jax.sharding — the TPU replacement for the
+reference's decomposePar → mpirun → reconstructPar pipeline
+(/root/reference/circularSloshingTank/Makefile:77-82, SURVEY.md §2.4).
+
+The grid's leading (x) axis is sharded over the device mesh; every stencil
+shift lowers to an XLA collective-permute over ICI (the halo exchange) and
+every CG/Courant reduction to a psum — no hand-written communication, no
+reconstruct step (arrays are globally addressable). A `case` mesh axis
+shards vmapped sweep batches (the DP analog) on top of the spatial axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, case_axis: int = 1,
+              devices=None) -> Mesh:
+    """Device mesh with axes (case, x). case_axis=1 → purely spatial."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    spatial = n_devices // case_axis
+    return Mesh(devices.reshape(case_axis, spatial), ("case", "x"))
+
+
+def state_sharding(mesh: Mesh, batched: bool = False):
+    """NamedSharding pytree for PackedState (uniform cell-shaped fields —
+    see parallel/packed.py): fields sharded on their leading spatial axis,
+    scalars replicated; with `batched`, the vmap axis maps to the `case`
+    mesh axis."""
+    from openfoam_tpp_tpu.parallel.packed import PackedState
+
+    lead = ("case",) if batched else ()
+
+    def fld(*spec):
+        return NamedSharding(mesh, P(*lead, *spec))
+
+    scalar = NamedSharding(mesh, P(*lead))
+    return PackedState(
+        alpha=fld("x"), u=fld("x"), v=fld("x"), w=fld("x"), w_top=fld("x"),
+        p=fld("x"), t=scalar, dt=scalar, step=scalar,
+    )
+
+
+def params_sharding(mesh: Mesh, batched: bool = False):
+    from openfoam_tpp_tpu.core.state import CaseParams
+
+    s = NamedSharding(mesh, P("case") if batched else P())
+    return CaseParams(orbit_radius=s, omega=s, ramp_time=s)
+
+
+def shard_state(state, mesh: Mesh, batched: bool = False):
+    """device_put a SimState onto the mesh (as a PackedState)."""
+    from openfoam_tpp_tpu.parallel import packed as pk
+
+    ps = pk.pack(state)
+    return jax.device_put(ps, state_sharding(mesh, batched))
+
+
+def sharded_step(step_fn, mesh: Mesh, batched: bool = False):
+    """jit the step with explicit in/out shardings over the mesh.
+
+    Takes/returns PackedState (uniform shapes divide evenly over the mesh;
+    the (n+1)-face MAC layout is reconstructed inside jit where GSPMD
+    handles ragged intermediate shapes)."""
+    from openfoam_tpp_tpu.parallel import packed as pk
+
+    sh_state = state_sharding(mesh, batched)
+    sh_params = params_sharding(mesh, batched)
+
+    return jax.jit(
+        pk.packed_fn(step_fn),
+        in_shardings=(sh_state, sh_params),
+        out_shardings=(sh_state, None),
+    )

@@ -1,0 +1,163 @@
+"""On-device interface extraction — the TPU replacement for the reference's
+PyVista/ParaView round-trip (`extract_interface`, /root/reference/main.py:
+727-818): instead of re-reading time directories through VTK and
+contouring tet cells, the free surface is computed directly from the
+alpha field on device and written to the same artifacts:
+
+  * ``interface_t{t:.6f}.vtp``  — triangulated free-surface mesh
+  * ``interface_summary.csv``   — time,max_z,min_z,mean_z,num_points
+  * ``wall_elevation.csv``      — time,theta,zeta_wall (64 θ-bins at the wall)
+
+Surface representation: per-column liquid height η(x, y) = z_floor +
+Σ_k α hz (exact for a monotone column; the graph of η is the α = 0.5
+iso-surface for non-breaking sloshing waves). The wall profile uses the
+ring of fluid columns adjacent to the tank wall — the structured-grid
+analog of the reference's r > 0.98 R point filter (main.py:784-798).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from openfoam_tpp_tpu.mesh.geometry import TankGeometry
+
+N_THETA_BINS = 64  # main.py:790
+
+
+def column_masks(geom: TankGeometry):
+    """Static per-column data: wetted mask, floor elevation, wall-ring mask.
+
+    Returns (wet, z_floor, wall_ring) numpy arrays of shape (nx, ny)."""
+    fluid = geom.fluid
+    wet = fluid.any(axis=2)
+    hz = geom.spacing[2]
+    z0 = geom.origin[2]
+    # First fluid cell per column (columns with no fluid get 0).
+    first = np.argmax(fluid, axis=2)
+    z_floor = z0 + first * hz
+    z_floor = np.where(wet, z_floor, 0.0)
+
+    # Wall ring: wetted columns with a non-wetted 4-neighbor (or domain edge).
+    pad = np.pad(wet, 1, constant_values=False)
+    nb = (
+        pad[:-2, 1:-1] & pad[2:, 1:-1] & pad[1:-1, :-2] & pad[1:-1, 2:]
+    )
+    wall_ring = wet & ~nb
+    return wet, z_floor, wall_ring
+
+
+def liquid_height(alpha, geom: TankGeometry, z_floor=None):
+    """η(x, y): on-device column liquid surface elevation. jit/vmap-safe."""
+    hz = geom.spacing[2]
+    if z_floor is None:
+        _, z_floor, _ = column_masks(geom)
+    depth = jnp.sum(alpha, axis=-1) * hz
+    return jnp.asarray(z_floor) + depth
+
+
+def surface_stats(alpha, geom: TankGeometry, wet=None, z_floor=None):
+    """(max_z, min_z, mean_z, n_points) over wetted columns — the
+    interface_summary.csv row (main.py:780)."""
+    if wet is None:
+        wet, z_floor, _ = column_masks(geom)
+    eta = liquid_height(alpha, geom, z_floor)
+    wet = jnp.asarray(wet)
+    n = jnp.maximum(jnp.sum(wet), 1)
+    big = jnp.asarray(1e30, eta.dtype)
+    zmax = jnp.max(jnp.where(wet, eta, -big))
+    zmin = jnp.min(jnp.where(wet, eta, big))
+    zmean = jnp.sum(jnp.where(wet, eta, 0.0)) / n
+    return zmax, zmin, zmean, n
+
+
+def wall_elevation_bins(alpha, geom: TankGeometry, n_bins: int = N_THETA_BINS):
+    """Mean surface elevation per θ-bin over the wall ring.
+
+    Returns (theta_centers, zeta, valid) with θ bins spanning [−π, π)
+    (main.py:789-798 binning). `valid` marks bins containing wall columns."""
+    wet, z_floor, ring = column_masks(geom)
+    eta = liquid_height(alpha, geom, z_floor)
+    x, y, _ = geom.cell_centers()
+    theta = np.arctan2(y[None, :], x[:, None])
+    edges = np.linspace(-np.pi, np.pi, n_bins + 1)
+    which = np.clip(np.digitize(theta, edges) - 1, 0, n_bins - 1)
+
+    ring_j = jnp.asarray(ring)
+    onehot = jnp.asarray(
+        (which[:, :, None] == np.arange(n_bins)[None, None, :])
+    ) & ring_j[:, :, None]
+    counts = jnp.sum(onehot, axis=(0, 1))
+    sums = jnp.sum(jnp.where(onehot, eta[:, :, None], 0.0), axis=(0, 1))
+    zeta = sums / jnp.maximum(counts, 1)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers, zeta, counts > 0
+
+
+def surface_mesh(alpha, geom: TankGeometry):
+    """Triangulated free-surface mesh (host-side, for VTP export).
+
+    Points at wetted column centers lifted to η; triangles over each 2×2
+    block of wetted columns."""
+    wet, z_floor, _ = column_masks(geom)
+    eta = np.asarray(liquid_height(alpha, geom, z_floor))
+    x, y, _ = geom.cell_centers()
+    nx, ny = wet.shape
+
+    idx = -np.ones((nx, ny), np.int64)
+    ii, jj = np.nonzero(wet)
+    idx[ii, jj] = np.arange(len(ii))
+    points = np.stack([x[ii], y[jj], eta[ii, jj]], axis=-1)
+
+    quad = wet[:-1, :-1] & wet[1:, :-1] & wet[:-1, 1:] & wet[1:, 1:]
+    qi, qj = np.nonzero(quad)
+    a = idx[qi, qj]
+    b = idx[qi + 1, qj]
+    c = idx[qi + 1, qj + 1]
+    d = idx[qi, qj + 1]
+    tris = np.concatenate(
+        [np.stack([a, b, c], -1), np.stack([a, c, d], -1)], axis=0
+    )
+    return points, tris
+
+
+def extract_interface(case_dir: str, geom: TankGeometry, snapshots,
+                      write_vtp_files: bool = True) -> str:
+    """Reference-parity extraction over (time, alpha) snapshots.
+
+    `snapshots` yields (t, alpha ndarray). Writes the three artifacts into
+    case_dir/postProcessing/interface/ with the reference's schemas."""
+    from openfoam_tpp_tpu.utils.io import write_vtp
+
+    out_dir = os.path.join(case_dir, "postProcessing", "interface")
+    os.makedirs(out_dir, exist_ok=True)
+
+    wet, z_floor, ring = column_masks(geom)
+    summary = ["time,max_z,min_z,mean_z,num_points"]
+    wall = ["time,theta,zeta_wall"]
+
+    for t, alpha in snapshots:
+        alpha = jnp.asarray(alpha)
+        zmax, zmin, zmean, n = surface_stats(alpha, geom, wet, z_floor)
+        summary.append(
+            f"{t},{float(zmax)},{float(zmin)},{float(zmean)},{int(n)}"
+        )
+        centers, zeta, valid = wall_elevation_bins(alpha, geom)
+        zeta = np.asarray(zeta)
+        valid = np.asarray(valid)
+        for b in range(len(centers)):
+            if valid[b]:
+                wall.append(f"{t},{centers[b]},{zeta[b]}")
+        if write_vtp_files:
+            pts, tris = surface_mesh(alpha, geom)
+            write_vtp(
+                os.path.join(out_dir, f"interface_t{t:.6f}.vtp"), pts, tris
+            )
+
+    with open(os.path.join(out_dir, "interface_summary.csv"), "w") as f:
+        f.write("\n".join(summary))
+    with open(os.path.join(out_dir, "wall_elevation.csv"), "w") as f:
+        f.write("\n".join(wall))
+    return out_dir

@@ -1,0 +1,87 @@
+"""Video rendering of the free surface (host-side).
+
+Parity with `generate_video` (/root/reference/main.py:612-725) minus its
+pyvista dependency and its documented `plotter` NameError bug: frames are
+rendered with matplotlib from the on-device column-height surface and
+encoded to MP4 (imageio/ffmpeg) or left as PNG frames when no encoder is
+available.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _have(mod: str) -> bool:
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+def generate_video(case_dir: str, fps: int = 30, fname: str = "animation.mp4") -> bool:
+    if not _have("matplotlib"):
+        print("  ❌ matplotlib not available — cannot render video")
+        return False
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from openfoam_tpp_tpu.manager.cases import load_case_params
+    from openfoam_tpp_tpu.manager.runner import build_case_geometry, iterate_snapshots
+    from openfoam_tpp_tpu.post.interface import column_masks, liquid_height
+
+    params = load_case_params(case_dir)
+    geom = build_case_geometry(params)
+    wet, z_floor, _ = column_masks(geom)
+    x, y, _ = geom.cell_centers()
+
+    out_dir = os.path.join(case_dir, "postProcessing", "video")
+    os.makedirs(out_dir, exist_ok=True)
+
+    frames = []
+    snaps = list(iterate_snapshots(case_dir))
+    if not snaps:
+        print("  ❌ No checkpoints to render — run the case first")
+        return False
+    print(f"  🎬 Rendering {len(snaps)} frames...")
+
+    zmin = 0.3 * params["H"]
+    zmax = 0.7 * params["H"]
+    for t, alpha in snaps:
+        eta = np.asarray(liquid_height(np.asarray(alpha), geom, z_floor))
+        eta = np.where(wet, eta, np.nan)
+        fig = plt.figure(figsize=(6, 5), dpi=110)
+        ax = fig.add_subplot(111, projection="3d")
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        ax.plot_surface(X, Y, eta, cmap="viridis", vmin=zmin, vmax=zmax,
+                        linewidth=0, antialiased=False)
+        ax.set_zlim(zmin, zmax)
+        ax.set_title(f"t = {t:.2f} s")
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
+        frames.append(buf.copy())
+        plt.close(fig)
+
+    out_path = os.path.join(out_dir, fname)
+    if _have("imageio"):
+        import imageio
+
+        try:
+            imageio.mimsave(out_path, frames, fps=fps)
+            print(f"  ✅ Video saved: {out_path}")
+            return True
+        except Exception as e:  # no ffmpeg plugin — fall back to PNGs
+            print(f"  ⚠ mp4 encode failed ({e}); writing PNG frames")
+    for i, fr in enumerate(frames):
+        import matplotlib.pyplot as plt
+
+        plt.imsave(os.path.join(out_dir, f"frame_{i:04d}.png"), fr)
+    print(f"  ✅ Frames saved under: {out_dir}")
+    return True

@@ -1,0 +1,129 @@
+"""Momentum transport on the staggered (MAC) grid.
+
+Implements the semi-discrete momentum equation of the interFoam class
+(SURVEY.md §2.3):
+
+    ∂(ρU)/∂t + ∇·(rhoPhi U) = ∇·(μ∇U) − ∇p_rgh − (G(t)·x)∇ρ + σκ∇α
+
+with `Gauss vanLeerV`-parity van Leer reconstruction of the advected
+velocity (fvSchemes:29) and the *phase-consistent* mass flux `rhoPhi`
+from the MULES step — the standard requirement for stability at the
+water/air density ratio. The pressure and body-force terms are face-
+located (MAC faces coincide with flux points, so no Rhie–Chow machinery
+is needed); the well-balanced −(G·x)∂ρ/∂n form keeps a stratified tank
+exactly quiescent (tested in tests/test_hydrostatic.py).
+
+momentumPredictor=no parity (fvSolution:80): velocity is advanced
+explicitly and corrected by one exact projection — on an orthogonal MAC
+grid a single pressure solve plays the role of the reference's two
+PISO correctors over a lagged H/A.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from openfoam_tpp_tpu.ops import stencil as st
+
+
+def _sl(axis, s):
+    out = [slice(None)] * 3
+    out[axis] = s
+    return tuple(out)
+
+
+def _zero_pad_axis(f, axis):
+    """Pad one zero slab on both ends of `axis`."""
+    shape = list(f.shape)
+    shape[axis] = 1
+    z = jnp.zeros(shape, f.dtype)
+    return jnp.concatenate([z, f, z], axis=axis)
+
+
+def convect_face_field(q, qax, rho_phi, spacing):
+    """∇·(rhoPhi q) evaluated at the q-face points (conservative form).
+
+    q lives on faces normal to `qax`. For the parallel direction the
+    momentum-CV faces sit at cell centers (mass flux = average of the two
+    bracketing face fluxes); for transverse directions they sit on edges
+    (mass flux = average of the transverse face flux along qax). The
+    advected value is van Leer-reconstructed upwind of the local mass flux.
+    """
+    conv = jnp.zeros_like(q)
+    for d in range(3):
+        h = spacing[d]
+        if d == qax:
+            rp = rho_phi[d]
+            # Mass flux at cell centers along d, then zero-padded so the
+            # "faces" of the q-array (centers + 2 domain ends) line up.
+            g_center = 0.5 * (rp[_sl(d, slice(0, -1))] + rp[_sl(d, slice(1, None))])
+            g = _zero_pad_axis(g_center, d)
+        else:
+            # Edge-located mass flux: transverse face flux averaged along qax.
+            g = st.cells_to_faces_avg(rho_phi[d], qax)
+        qf = st.vanleer_faces(q, g, d)
+        flux = g * qf
+        conv = conv + (flux[_sl(d, slice(1, None))] - flux[_sl(d, slice(0, -1))]) / h
+    return conv
+
+
+def viscous_face_field(q, qax, mu, spacing):
+    """∇·(μ∇q) at the q-face points (Laplacian form).
+
+    Variable μ: cell-centered for the parallel direction, 4-point edge
+    average for transverse directions. The deviatoric transpose term
+    ∇·(μ(∇U)ᵀ) vanishes for constant μ by continuity and is neglected
+    (laminar sloshing, μ-gradient confined to the interface).
+    """
+    out = jnp.zeros_like(q)
+    for d in range(3):
+        h = spacing[d]
+        if d == qax:
+            # dq/dd at cell centers; flux divergence back at faces.
+            dq = (q[_sl(d, slice(1, None))] - q[_sl(d, slice(0, -1))]) / h
+            flux = mu * dq
+            flux = _zero_pad_axis(flux, d)
+        else:
+            mu_edge = st.cells_to_faces_avg(st.cells_to_faces_avg(mu, qax), d)
+            dq = st.gradient_at_faces(q, d, h)
+            flux = mu_edge * dq
+        out = out + (flux[_sl(d, slice(1, None))] - flux[_sl(d, slice(0, -1))]) / h
+    return out
+
+
+# Gravity/frame forcing note (total-pressure formulation):
+# interFoam splits p = p_rgh + ρ g·x and applies the face force
+# −(G·x)_f ∂ρ/∂n — well-balanced in f64, but in f32 the interface face
+# force is O(g·ρ_w/Δh) ≈ 1e5 m/s² and its cancellation against ∇p_rgh is
+# limited to ~1e-6 relative, leaving O(1e-4 m/s) spurious currents.
+# This solver instead works with the *total* pressure: the body force is
+# the uniform per-unit-mass acceleration G(t) (O(10) m/s², added directly
+# to face velocities in the timestep), and p absorbs the hydrostatic
+# profile. On the MAC grid with β_f = face-averaged 1/ρ (harmonic face
+# density — the GFM-consistent choice) the discrete hydrostatic balance
+# for z-stratified ρ is still exact: Δp = G_z h / β_f is single-valued,
+# so the projection returns machine-zero velocity (tested in
+# tests/test_hydrostatic.py) — with forces 4 orders smaller, f32-safe.
+
+
+def csf_force(alpha, kappa, sigma, axis, h, beta_face):
+    """Continuum-surface-force σ κ_f ∂α/∂n · β_f at faces (Brackbill CSF).
+
+    σ = 0 in the reference templates (constant/phaseProperties:17-19) but
+    the machinery is first-class for the thin-layer cap cases."""
+    kf = st.cells_to_faces_avg(kappa, axis)
+    da = st.gradient_at_faces(alpha, axis, h)
+    return sigma * kf * da * beta_face
+
+
+def curvature(alpha, spacing, eps=1e-8):
+    """κ = −∇·n̂ from smoothed VoF gradients (cell-centered)."""
+    hx, hy, hz = spacing
+    gx = st.faces_to_cells_avg(st.gradient_at_faces(alpha, 0, hx), 0)
+    gy = st.faces_to_cells_avg(st.gradient_at_faces(alpha, 1, hy), 1)
+    gz = st.faces_to_cells_avg(st.gradient_at_faces(alpha, 2, hz), 2)
+    mag = jnp.sqrt(gx * gx + gy * gy + gz * gz) + eps
+    nxf = st.cells_to_faces_avg(gx / mag, 0)
+    nyf = st.cells_to_faces_avg(gy / mag, 1)
+    nzf = st.cells_to_faces_avg(gz / mag, 2)
+    return -st.divergence(nxf, nyf, nzf, spacing)

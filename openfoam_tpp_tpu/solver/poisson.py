@@ -1,0 +1,310 @@
+"""Matrix-free pressure Poisson solve: geometric-multigrid-preconditioned CG.
+
+Replaces the reference's GAMG/PCG p_rgh solves
+(/root/reference/circularSloshingTank/system/fvSolution:42-66) with the
+structured-grid equivalent: the 7-point variable-coefficient operator
+
+    A(p)[c] = diag·p − Σ_f w_f · p_neighbor,   w_f = a_f β_f / h²,
+
+(a_f cut-cell apertures, β_f face-interpolated 1/ρ) preconditioned by a
+geometric multigrid V-cycle with Galerkin coarsening:
+
+  * restriction  = 2×2×2 sum, prolongation = injection (R = Pᵀ — a
+    symmetric preconditioner, valid inside CG),
+  * coarse-level weights = sums of the fine cross-weights (exact Galerkin
+    for piecewise-constant transfer — handles the 1000:1 β jump at the
+    interface, the GAMG-parity property),
+  * damped-Jacobi smoothing (pure stencil ops; no red-black masks needed).
+
+Aperture-zero faces give natural homogeneous Neumann (`fixedFluxPressure`
+parity); the atmosphere patch is a half-cell Dirichlet p_rgh = 0 carried
+as a diagonal-only term (`totalPressure` parity). Closed tanks
+(6DoF variant) are pure-Neumann/singular: the constant nullspace is
+projected out of residuals and iterates.
+
+Everything is dense jnp stencil math: under sharded jit the halo terms
+lower to collective-permutes and the CG dots to psums over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from openfoam_tpp_tpu.ops import stencil as st
+
+_JACOBI_OMEGA = 0.8
+_COARSEST_SWEEPS = 24
+_SMOOTH_SWEEPS = 2
+
+
+@dataclasses.dataclass
+class _Level:
+    wx: jax.Array      # (nx+1, ny, nz) x-face weights
+    wy: jax.Array
+    wz: jax.Array
+    extra: jax.Array   # diagonal-only term (Dirichlet closure / solid identity)
+    diag: jax.Array
+    shape: tuple
+
+
+@dataclasses.dataclass
+class PoissonProblem:
+    apply: Callable            # p -> A(p)
+    precond: Callable          # r -> M⁻¹ r  (one MG V-cycle)
+    diag: jax.Array
+    fluid: jax.Array
+    singular: bool
+    beta_faces: tuple          # (bx, by, bz) face (1/ρ) — shared with the
+                               # velocity correction and face forces
+    c_top: jax.Array | None    # top Dirichlet coefficient a·β·2 (per column)
+
+
+def _weights_apply(level: _Level, p):
+    wx, wy, wz = level.wx, level.wy, level.wz
+    nb = (
+        wx[:-1] * st.shift_down(p, 0) + wx[1:] * st.shift_up(p, 0)
+        + wy[:, :-1] * st.shift_down(p, 1) + wy[:, 1:] * st.shift_up(p, 1)
+        + wz[:, :, :-1] * st.shift_down(p, 2) + wz[:, :, 1:] * st.shift_up(p, 2)
+    )
+    return level.diag * p - nb
+
+
+def _jacobi(level: _Level, x, b, n):
+    inv_d = 1.0 / level.diag
+    for _ in range(n):
+        x = x + _JACOBI_OMEGA * (b - _weights_apply(level, x)) * inv_d
+    return x
+
+
+def _pad_axis_even(a, axis):
+    """Zero-pad one axis to even length (ghost cells carry zero weight)."""
+    if a.shape[axis] % 2 == 0:
+        return a
+    pads = [(0, 0)] * a.ndim
+    pads[axis] = (0, 1)
+    return jnp.pad(a, pads)
+
+
+def _sum_pairs(a, axis):
+    """Sum adjacent pairs along `axis` (length must be even)."""
+    even = a[st._sl(axis, slice(0, None, 2))]
+    odd = a[st._sl(axis, slice(1, None, 2))]
+    return even + odd
+
+
+def _restrict_cells(a):
+    """2×2×2 sum of a cell array (zero-padded to even first)."""
+    for d in range(3):
+        a = _sum_pairs(_pad_axis_even(a, d), d)
+    return a
+
+
+def _prolong_cells(a, fine_shape):
+    """Piecewise-constant injection back to the fine grid."""
+    out = jnp.repeat(jnp.repeat(jnp.repeat(a, 2, 0), 2, 1), 2, 2)
+    return out[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
+
+
+def _coarsen_face_weights(w, axis):
+    """Coarse cross-face weights: fine faces at even positions along
+    `axis` (the coarse-cell interfaces), 2×2-summed transversally."""
+    # The face axis has n_cells+1 entries; after padding cells to even
+    # n_e, coarse interfaces sit at fine face indices 0, 2, …, n_e.
+    n_cells = w.shape[axis] - 1
+    if n_cells % 2 == 1:
+        pads = [(0, 0)] * w.ndim
+        pads[axis] = (0, 1)  # one zero-weight face beyond the ghost cell
+        w = jnp.pad(w, pads)
+    w = w[st._sl(axis, slice(0, None, 2))]
+    for d in range(3):
+        if d != axis:
+            w = _sum_pairs(_pad_axis_even(w, d), d)
+    return w
+
+
+def _build_levels(wx, wy, wz, extra, max_levels=10, min_cells=256):
+    levels = []
+    shape = extra.shape
+    while True:
+        diag = (
+            wx[:-1] + wx[1:] + wy[:, :-1] + wy[:, 1:]
+            + wz[:, :, :-1] + wz[:, :, 1:] + extra
+        )
+        diag = jnp.where(diag > 0, diag, 1.0)
+        levels.append(_Level(wx=wx, wy=wy, wz=wz, extra=extra, diag=diag,
+                             shape=shape))
+        n_cells = shape[0] * shape[1] * shape[2]
+        if (
+            len(levels) >= max_levels
+            or n_cells <= min_cells
+            or min(shape) <= 2
+        ):
+            break
+        wx = _coarsen_face_weights(wx, 0)
+        wy = _coarsen_face_weights(wy, 1)
+        wz = _coarsen_face_weights(wz, 2)
+        extra = _restrict_cells(extra)
+        shape = extra.shape
+    return levels
+
+
+def _vcycle(levels, li, b):
+    level = levels[li]
+    if li == len(levels) - 1:
+        return _jacobi(level, jnp.zeros_like(b), b, _COARSEST_SWEEPS)
+    x = _jacobi(level, jnp.zeros_like(b), b, _SMOOTH_SWEEPS)
+    r = b - _weights_apply(level, x)
+    rc = _restrict_cells(r)
+    ec = _vcycle(levels, li + 1, rc)
+    x = x + _prolong_cells(ec, level.shape)
+    x = _jacobi(level, x, b, _SMOOTH_SWEEPS)
+    return x
+
+
+def build_poisson(geom_arrays, spacing, rho, top_open):
+    """Construct operator + MG preconditioner for the current density."""
+    hx, hy, hz = spacing
+    vfrac = geom_arrays["vfrac"]
+    fluid = vfrac > 0.0
+
+    # Face β = 1/⟨ρ⟩ with arithmetic face density (interFoam interpolates
+    # ρ linearly at faces): reproduces the hydrostatic ∫ρg dz across the
+    # interface cell pair, where the harmonic mean (avg of 1/ρ) would
+    # undershoot the pressure jump by O(ρ_w g h). Discrete balance is
+    # exact for any consistent β; this choice also makes the *pressure
+    # values* physical (probe parity).
+    bx = 1.0 / st.cells_to_faces_avg(rho, 0)
+    by = 1.0 / st.cells_to_faces_avg(rho, 1)
+    bz = 1.0 / st.cells_to_faces_avg(rho, 2)
+    beta = jnp.where(fluid, 1.0 / rho, 0.0)
+    wx = geom_arrays["ax"] * bx / (hx * hx)
+    wy = geom_arrays["ay"] * by / (hy * hy)
+    wz = geom_arrays["az"] * bz / (hz * hz)
+    # The top boundary face weight must not couple to a ghost: carried as a
+    # diagonal-only (Dirichlet) term instead.
+    wz = wz.at[:, :, -1].set(0.0)
+
+    singular = top_open is None
+    extra = jnp.where(fluid, 0.0, 1.0)
+    c_top = None
+    if not singular:
+        # Half-cell Dirichlet at the open top: flux = −(2 a β / hz) p.
+        c_top = 2.0 * top_open * beta[:, :, -1]
+        extra = extra.at[:, :, -1].add(c_top / (hz * hz))
+
+    levels = _build_levels(wx, wy, wz, extra)
+    top = levels[0]
+
+    def apply(p):
+        return _weights_apply(top, p)
+
+    def precond(r):
+        return _vcycle(levels, 0, r)
+
+    return PoissonProblem(
+        apply=apply, precond=precond, diag=top.diag, fluid=fluid,
+        singular=bool(singular), beta_faces=(bx, by, bz), c_top=c_top,
+    )
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, dtype=jnp.float32)
+
+
+def _demean(x, fluid, n_fluid):
+    mean = jnp.sum(jnp.where(fluid, x, 0.0)) / n_fluid
+    return jnp.where(fluid, x - mean, x)
+
+
+_F32_CG_FLOOR = 3e-5  # relative depth one f32 CG sweep can reliably reach
+
+
+def _cg_core(problem, precond, b, tol, max_iters):
+    """Plain preconditioned CG from a zero initial guess (recurrence
+    residual untouched — refreshing it mid-flight destroys conjugacy)."""
+    fluid = problem.fluid
+    n_fluid = jnp.maximum(jnp.sum(fluid.astype(jnp.float32)), 1.0)
+    r = b
+    z = jnp.where(fluid, precond(r), 0.0)
+    x = jnp.zeros_like(b)
+    p = z
+    rz = _dot(r, z)
+
+    def cond(carry):
+        x, r, p, rz, k = carry
+        return jnp.logical_and(k < max_iters, jnp.sqrt(_dot(r, r)) > tol)
+
+    def body(carry):
+        x, r, p, rz, k = carry
+        ap = jnp.where(fluid, problem.apply(p), 0.0)
+        denom = _dot(p, ap)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        if problem.singular:
+            r = _demean(r, fluid, n_fluid)
+        z = jnp.where(fluid, precond(r), 0.0)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, p, rz, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.asarray(0, jnp.int32))
+    )
+    return x, iters
+
+
+def solve_pcg(
+    problem: PoissonProblem,
+    b: jax.Array,
+    x0: jax.Array,
+    precond: Callable | None = None,
+    tol_rel: float = 1e-4,
+    tol_abs: float = 0.0,
+    max_iters: int = 60,
+    n_refine: int = 3,
+):
+    """MG-preconditioned CG with outer iterative refinement.
+
+    Each refinement pass restarts CG on the freshly evaluated true
+    residual (mixed-precision-style defeat of the f32 recurrence floor —
+    a single f32 CG sweep bottoms out near 3e-5 relative; restarting on
+    the true residual compounds the reduction). Returns
+    (x, true-residual norm, total iterations). All reductions are
+    jnp.sum — psum over the device mesh under sharded jit.
+    """
+    fluid = problem.fluid
+    if precond is None:
+        precond = problem.precond
+    n_fluid = jnp.maximum(jnp.sum(fluid.astype(jnp.float32)), 1.0)
+
+    b = jnp.where(fluid, b, 0.0)
+    if problem.singular:
+        b = _demean(b, fluid, n_fluid)
+
+    x = jnp.where(fluid, x0, 0.0)
+
+    def true_residual(x):
+        r = jnp.where(fluid, b - problem.apply(x), 0.0)
+        if problem.singular:
+            r = _demean(r, fluid, n_fluid)
+        return r
+
+    r = true_residual(x)
+    tol = jnp.maximum(tol_rel * jnp.sqrt(_dot(r, r)), tol_abs)
+
+    total = jnp.asarray(0, jnp.int32)
+    for _ in range(n_refine):
+        inner_tol = jnp.maximum(_F32_CG_FLOOR * jnp.sqrt(_dot(r, r)), tol)
+        dx, iters = _cg_core(problem, precond, r, inner_tol, max_iters)
+        x = x + dx
+        total = total + iters
+        r = true_residual(x)
+    if problem.singular:
+        x = _demean(x, fluid, n_fluid)
+    return x, jnp.sqrt(_dot(r, r)), total

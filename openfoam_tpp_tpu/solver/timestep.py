@@ -1,0 +1,224 @@
+"""The jit-compiled VoF time step — the TPU replacement for the reference's
+entire `foamRun incompressibleVoF` inner loop (SURVEY.md §3.2):
+
+    per Δt: adapt dt from Co/alphaCo ≤ 0.5 → α sub-cycles (MULES ×3) →
+    explicit momentum (vanLeerV convection with rhoPhi, viscous) →
+    uniform effective-gravity forcing G(t) = g − a_frame(t) + CSF →
+    pressure projection (MG-preconditioned CG) → flux/velocity correction.
+
+`make_step(geom, props, controls)` returns a pure function
+`step(state, params) -> (state', diag)` suitable for `jax.jit`,
+`jax.vmap` over CaseParams (parameter sweeps) and sharded jit over a
+device mesh (halo exchange inserted by XLA).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
+from openfoam_tpp_tpu.core import motion as mo
+from openfoam_tpp_tpu.core.state import SimState, mixture_density, mixture_viscosity
+from openfoam_tpp_tpu.mesh.geometry import TankGeometry
+from openfoam_tpp_tpu.ops import mules
+from openfoam_tpp_tpu.ops import stencil as st
+from openfoam_tpp_tpu.solver import momentum as mom
+from openfoam_tpp_tpu.solver import poisson
+
+
+class StepDiagnostics(NamedTuple):
+    """Per-step scalars (the reference's solver-log numbers)."""
+
+    courant: jax.Array        # max Courant number of the step taken
+    alpha_courant: jax.Array  # max interface Courant number
+    p_residual: jax.Array     # final pressure residual norm
+    p_iters: jax.Array        # CG iterations used
+    div_error: jax.Array      # max |div(phi)| after correction (continuity)
+    alpha_min: jax.Array      # bounds check ("bounding alpha.water" parity)
+    alpha_max: jax.Array
+
+
+def geometry_arrays(geom: TankGeometry, dtype=jnp.float32):
+    """Upload static geometry to device arrays once."""
+    as_j = lambda a: jnp.asarray(a, dtype)
+    return {
+        "vfrac": as_j(geom.vfrac),
+        "ax": as_j(geom.ax),
+        "ay": as_j(geom.ay),
+        "az": as_j(geom.az),
+        "top_open": as_j(geom.top_open),
+    }
+
+
+def make_step(
+    geom: TankGeometry,
+    props: PhysicalProperties = PhysicalProperties(),
+    controls: SolverControls = SolverControls(),
+    motion: mo.TableMotion | None = None,
+    dtype=jnp.float32,
+):
+    """Build the jit-able step function for a fixed geometry.
+
+    `motion=None` means analytic orbital forcing driven by CaseParams
+    (the circularSloshingTank family); a TableMotion gives 6DoF.dat-driven
+    translation (sloshingTank3D6DoF family).
+    """
+    ga = geometry_arrays(geom, dtype)
+    spacing = tuple(float(s) for s in geom.spacing)
+    hx, hy, hz = spacing
+    open_top = bool(np.any(geom.top_open > 0))
+    fluid = ga["vfrac"] > 0.0
+    inv_vfrac = jnp.where(fluid, 1.0 / jnp.maximum(ga["vfrac"], 0.5), 0.0)
+    masks = (ga["ax"] > 0.0, ga["ay"] > 0.0, ga["az"] > 0.0)
+
+    def effective_g(t, params):
+        if motion is None:
+            return mo.effective_gravity(t, params, props.g)
+        a = motion.acceleration(t)
+        return jnp.asarray([0.0, 0.0, -props.g], a.dtype) - a
+
+    def courant_numbers(u, v, w, alpha, dt):
+        """Cell Courant and interface Courant (controlDict maxCo/maxAlphaCo)."""
+        speed = (
+            jnp.abs(st.faces_to_cells_avg(u, 0)) / hx
+            + jnp.abs(st.faces_to_cells_avg(v, 1)) / hy
+            + jnp.abs(st.faces_to_cells_avg(w, 2)) / hz
+        )
+        co = dt * jnp.max(jnp.where(fluid, speed, 0.0))
+        near_if = (alpha > 0.01) & (alpha < 0.99)
+        co_a = dt * jnp.max(jnp.where(fluid & near_if, speed, 0.0))
+        # Interface compression doubles the effective phase-flux speed.
+        return co, co_a * (1.0 + controls.c_alpha)
+
+    def step(state: SimState, params) -> tuple[SimState, StepDiagnostics]:
+        # --- adaptive dt (controlDict:45-51 adjustTimeStep semantics) ---
+        co, co_a = courant_numbers(state.u, state.v, state.w, state.alpha,
+                                   state.dt)
+        limit = jnp.minimum(
+            controls.max_co / jnp.maximum(co / state.dt, 1e-10),
+            controls.max_alpha_co / jnp.maximum(co_a / state.dt, 1e-10),
+        )
+        dt = jnp.minimum(
+            jnp.minimum(controls.dt_growth * state.dt, limit),
+            controls.max_dt,
+        ).astype(state.dt.dtype)
+
+        # --- alpha advection with the divergence-free flux from step n ---
+        phi = (ga["ax"] * state.u, ga["ay"] * state.v, ga["az"] * state.w)
+        alpha_new, rho_phi, _ = mules.advect_alpha(
+            state.alpha, phi, ga, spacing, dt,
+            props.rho1, props.rho2,
+            c_alpha=controls.c_alpha,
+            n_subcycles=controls.n_alpha_subcycles,
+            n_limiter_iters=controls.n_limiter_iters,
+        )
+
+        rho_old = mixture_density(state.alpha, props)
+        rho_new = mixture_density(alpha_new, props)
+        mu = mixture_viscosity(alpha_new, props)
+
+        # --- Poisson operator for the new density (also supplies the
+        #     face 1/ρ interpolants shared by forces & correction) ---
+        prob = poisson.build_poisson(
+            ga, spacing, rho_new, ga["top_open"] if open_top else None
+        )
+        beta_f = prob.beta_faces
+
+        # --- explicit conservative momentum (no pressure, no gravity) ---
+        t_mid = state.t + 0.5 * dt
+        G = effective_g(t_mid, params)
+
+        kappa = None
+        if props.sigma != 0.0:
+            kappa = mom.curvature(alpha_new, spacing)
+
+        vels = (state.u, state.v, state.w)
+        new_vels = []
+        for ax, q in enumerate(vels):
+            rof = st.cells_to_faces_avg(rho_old, ax)
+            rnf = st.cells_to_faces_avg(rho_new, ax)
+            conv = mom.convect_face_field(q, ax, rho_phi, spacing)
+            visc = mom.viscous_face_field(q, ax, mu, spacing)
+            q_star = (rof * q + dt * (visc - conv)) / rnf
+            # Uniform effective-gravity acceleration (total-p formulation —
+            # see the forcing note in solver/momentum.py) + CSF.
+            q_star = q_star + dt * G[ax]
+            if kappa is not None:
+                q_star = q_star + dt * mom.csf_force(
+                    alpha_new, kappa, props.sigma, ax, spacing[ax], beta_f[ax]
+                )
+            new_vels.append(jnp.where(masks[ax], q_star, 0.0))
+        u_s, v_s, w_s = new_vels
+
+        # --- projection ---
+        phi_star = (ga["ax"] * u_s, ga["ay"] * v_s, ga["az"] * w_s)
+        div_star = st.divergence(*phi_star, spacing)
+        b = jnp.where(fluid, -div_star / dt, 0.0)
+        p_new, p_res, p_iters = poisson.solve_pcg(
+            prob, b, state.p,
+            tol_rel=controls.p_tol_rel,
+            tol_abs=controls.p_tol_abs,
+            max_iters=controls.p_max_iters,
+        )
+
+        # --- velocity correction (exactly the operator's gradient) ---
+        u_c = u_s - dt * beta_f[0] * st.gradient_at_faces(p_new, 0, hx)
+        v_c = v_s - dt * beta_f[1] * st.gradient_at_faces(p_new, 1, hy)
+        w_c = w_s - dt * beta_f[2] * st.gradient_at_faces(p_new, 2, hz)
+        if open_top and prob.c_top is not None:
+            # Half-cell Dirichlet gradient at the atmosphere faces.
+            beta_top = jnp.where(
+                ga["top_open"] > 0, 1.0 / rho_new[:, :, -1], 0.0
+            )
+            w_top = w_s[:, :, -1] + dt * beta_top * 2.0 * p_new[:, :, -1] / hz
+            w_c = w_c.at[:, :, -1].set(w_top)
+        u_c = jnp.where(masks[0], u_c, 0.0)
+        v_c = jnp.where(masks[1], v_c, 0.0)
+        w_c = jnp.where(masks[2], w_c, 0.0)
+
+        div_err = jnp.max(
+            jnp.abs(
+                st.divergence(
+                    ga["ax"] * u_c, ga["ay"] * v_c, ga["az"] * w_c, spacing
+                )
+            )
+            * fluid
+        )
+
+        co_new, co_a_new = courant_numbers(u_c, v_c, w_c, alpha_new, dt)
+        new_state = SimState(
+            alpha=alpha_new, u=u_c, v=v_c, w=w_c, p=p_new,
+            t=state.t + dt, dt=dt, step=state.step + 1,
+        )
+        diag = StepDiagnostics(
+            courant=co_new,
+            alpha_courant=co_a_new,
+            p_residual=p_res,
+            p_iters=p_iters,
+            div_error=div_err,
+            alpha_min=jnp.min(jnp.where(fluid, alpha_new, 0.0)),
+            alpha_max=jnp.max(alpha_new),
+        )
+        return new_state, diag
+
+    return step
+
+
+def make_multi_step(step_fn, n_inner: int):
+    """Fuse `n_inner` steps into one lax.scan for dispatch-free execution."""
+
+    def multi(state, params):
+        def body(s, _):
+            s2, d = step_fn(s, params)
+            return s2, d
+
+        final, diags = jax.lax.scan(body, state, None, length=n_inner)
+        last = jax.tree.map(lambda a: a[-1], diags)
+        return final, last
+
+    return multi
