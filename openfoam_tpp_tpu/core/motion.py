@@ -125,3 +125,22 @@ class TableMotion:
 
     def orientation(self, t):
         return jax.vmap(lambda col: jnp.interp(t, self.times, col), 1)(self.rot)
+
+    @property
+    def has_rotation(self) -> bool:
+        return bool(np.any(np.abs(np.asarray(self.rot)) > 1e-12))
+
+
+def rotation_matrix(angles):
+    """Body←lab rotation R = Rz(rz)·Ry(ry)·Rx(rx) from xyz Euler angles —
+    the composition OpenFOAM's `quaternion(XYZ, rot)` applies to the tank
+    in `sixDoFMotion` (sloshingTank3D6DoF/constant/dynamicMeshDict:17-44).
+    Lab vectors transform into the tank frame with Rᵀ."""
+    rx, ry, rz = angles[0], angles[1], angles[2]
+    cx, sx = jnp.cos(rx), jnp.sin(rx)
+    cy, sy = jnp.cos(ry), jnp.sin(ry)
+    cz, sz = jnp.cos(rz), jnp.sin(rz)
+    Rx = jnp.array([[1.0, 0.0, 0.0], [0.0, cx, -sx], [0.0, sx, cx]])
+    Ry = jnp.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+    Rz = jnp.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    return Rz @ Ry @ Rx

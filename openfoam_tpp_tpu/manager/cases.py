@@ -15,8 +15,23 @@ from openfoam_tpp_tpu.config import DEFAULTS
 from openfoam_tpp_tpu.utils import naming
 from openfoam_tpp_tpu.utils.io import (
     generate_orbital_motion_table,
+    generate_sine_motion_table,
     latest_checkpoint,
 )
+
+# Closed rectangular 6DoF tank defaults — the OpenFOAM tutorial
+# `sloshingTank3D` block (20 m × 20 m × 40 m, waterline z=0:
+# /root/reference/sloshingTank3D6DoF/Allrun:7 + system/setFieldsDict
+# water box up to z=0; probes at y=±9.95, z=19.77 bracket the extents).
+DEFAULTS_6DOF = {
+    "model": "tank6dof",
+    "Lx": 20.0,
+    "Ly": 20.0,
+    "Lz": 40.0,
+    "mesh": 1.0,
+    "duration": 40.0,   # sloshingTank3D6DoF/system/controlDict endTime
+    "dt": 0.01,         # controlDict deltaT
+}
 
 
 def setup_case(params: dict, base_dir: str = ".") -> str:
@@ -45,13 +60,41 @@ def setup_case(params: dict, base_dir: str = ".") -> str:
     return case_dir
 
 
+def setup_case_6dof(params: dict | None = None, base_dir: str = ".",
+                    motion_table: str | None = None) -> str:
+    """Create a closed-tank 6DoF case (sloshingTank3D6DoF parity).
+
+    The motion table defaults to the gen6DoF sine table; pass
+    `motion_table` to copy an externally generated 6DoF.dat (e.g. from
+    native/gen6dof)."""
+    import shutil
+
+    params = {**DEFAULTS_6DOF, **(params or {})}
+    name = (
+        f"case_6dof_L{params['Lx']:g}x{params['Ly']:g}x{params['Lz']:g}"
+        f"_m{params['mesh']:g}_d{params['duration']:g}"
+    )
+    case_dir = os.path.join(base_dir, name)
+    os.makedirs(os.path.join(case_dir, "constant"), exist_ok=True)
+    os.makedirs(os.path.join(case_dir, "postProcessing"), exist_ok=True)
+    table = os.path.join(case_dir, "constant", "6DoF.dat")
+    if motion_table:
+        shutil.copyfile(motion_table, table)
+    else:
+        generate_sine_motion_table(table, duration=params["duration"])
+    with open(os.path.join(case_dir, "case.json"), "w") as f:
+        json.dump(params, f, indent=2, sort_keys=True)
+    return case_dir
+
+
 def load_case_params(case_dir: str) -> dict:
     """case.json if present, else decode the folder name (reference codec)."""
     path = os.path.join(case_dir, "case.json")
     if os.path.exists(path):
         with open(path) as f:
             params = json.load(f)
-        return {**DEFAULTS, **params}
+        base = DEFAULTS_6DOF if params.get("model") == "tank6dof" else DEFAULTS
+        return {**base, **params}
     return naming.parse_case_params(os.path.basename(os.path.normpath(case_dir)))
 
 

@@ -59,9 +59,31 @@ def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE):
 
 
 def build_case_geometry(params: dict):
+    if params.get("model") == "tank6dof":
+        from openfoam_tpp_tpu.mesh import build_box_geometry
+
+        return build_box_geometry(
+            params["Lx"], params["Ly"], params["Lz"], params["mesh"],
+            z0=-params["Lz"] / 2.0, open_top=False,
+        )
     return build_tank_geometry(
         H=params["H"], D=params["D"], mesh=params["mesh"], geo=params["geo"]
     )
+
+
+def build_case_motion(params: dict, case_dir: str):
+    """TableMotion for table-driven models; None for analytic orbital."""
+    if params.get("model") != "tank6dof":
+        return None
+    from openfoam_tpp_tpu.core.motion import TableMotion
+    from openfoam_tpp_tpu.utils.io import read_6dof_table
+
+    table = os.path.join(case_dir, "constant", "6DoF.dat")
+    t, trans, rot = read_6dof_table(table)
+    # Resample to the solver dt scale for smooth finite-difference
+    # accelerations (the reference table is 100 coarse samples).
+    return TableMotion.from_table(t, trans, rot,
+                                  resample_dt=min(0.05, params["dt"] * 10))
 
 
 # Compiled-solver cache: cases sharing (geometry, physics, controls) reuse
@@ -70,15 +92,22 @@ _ADVANCE_CACHE: dict = {}
 
 
 def get_compiled_advance(params: dict, props: PhysicalProperties,
-                         controls: SolverControls):
-    key = (
-        params["H"], params["D"], params["mesh"], params["geo"],
-        props, controls,
-    )
+                         controls: SolverControls, case_dir: str | None = None):
+    if params.get("model") == "tank6dof":
+        # Table-driven motion is baked into the compiled step — keyed by
+        # the case directory (table identity).
+        key = ("tank6dof", case_dir, params["Lx"], params["Ly"],
+               params["Lz"], params["mesh"], props, controls)
+    else:
+        key = (
+            params["H"], params["D"], params["mesh"], params["geo"],
+            props, controls,
+        )
     hit = _ADVANCE_CACHE.get(key)
     if hit is None:
         geom = build_case_geometry(params)
-        step = make_step(geom, props, controls)
+        motion = build_case_motion(params, case_dir) if case_dir else None
+        step = make_step(geom, props, controls, motion=motion)
         hit = (geom, jax.jit(make_advance(step)))
         _ADVANCE_CACHE[key] = hit
     return hit
@@ -93,22 +122,31 @@ def run_case(
 ) -> dict:
     """Run (or resume) a case to its encoded duration. Returns run stats."""
     params = load_case_params(case_dir)
-    geom, advance = get_compiled_advance(params, props, controls)
+    is_6dof = params.get("model") == "tank6dof"
+    geom, advance = get_compiled_advance(params, props, controls, case_dir)
     n_cells = geom.n_fluid_cells
     log(f"  Mesh: {geom.shape[0]}x{geom.shape[1]}x{geom.shape[2]} grid, "
-        f"{n_cells} fluid cells (h={params['mesh']:g} m, geo={params['geo']})")
+        f"{n_cells} fluid cells (h={params['mesh']:g} m, "
+        f"geo={params.get('geo', geom.geo)})")
 
-    case_params = CaseParams.make(
-        R=params["R"], freq=params["freq"], duration=params["duration"],
-        ramp=params["ramp"],
-    )
+    if is_6dof:
+        # Motion comes from the compiled-in table; params are inert.
+        case_params = CaseParams.make(R=0.0, freq=0.0,
+                                      duration=params["duration"])
+    else:
+        case_params = CaseParams.make(
+            R=params["R"], freq=params["freq"], duration=params["duration"],
+            ramp=params["ramp"],
+        )
 
     chk = latest_checkpoint(case_dir)
     if chk is not None:
         state = to_state(load_checkpoint(chk[1]))
         log(f"  Resuming from t={chk[0]:.4f} s ({chk[1]})")
     else:
-        state = init_state(geom, dt0=params["dt"])
+        # 6DoF tutorial tank: waterline at z=0 (setFieldsDict box → z<0).
+        fill = 0.0 if is_6dof else None
+        state = init_state(geom, fill_height=fill, dt0=params["dt"])
         if write_checkpoints:
             save_checkpoint(case_dir, state)
 

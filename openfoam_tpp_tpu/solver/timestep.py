@@ -27,6 +27,7 @@ from openfoam_tpp_tpu.core.state import SimState, mixture_density, mixture_visco
 from openfoam_tpp_tpu.mesh.geometry import TankGeometry
 from openfoam_tpp_tpu.ops import mules
 from openfoam_tpp_tpu.ops import stencil as st
+from openfoam_tpp_tpu.solver import frame as fr
 from openfoam_tpp_tpu.solver import momentum as mom
 from openfoam_tpp_tpu.solver import poisson
 
@@ -76,11 +77,29 @@ def make_step(
     inv_vfrac = jnp.where(fluid, 1.0 / jnp.maximum(ga["vfrac"], 0.5), 0.0)
     masks = (ga["ax"] > 0.0, ga["ay"] > 0.0, ga["az"] > 0.0)
 
+    rot_enabled = motion is not None and motion.has_rotation
+    if rot_enabled:
+        face_xyz = tuple(fr.face_coordinates(geom, ax) for ax in range(3))
+
     def effective_g(t, params):
+        """Uniform body acceleration in the tank frame.
+
+        Pure translation: G = g − a_frame. With rotation the lab vectors
+        are additionally rotated into the tank frame by Rᵀ."""
         if motion is None:
             return mo.effective_gravity(t, params, props.g)
         a = motion.acceleration(t)
-        return jnp.asarray([0.0, 0.0, -props.g], a.dtype) - a
+        g_lab = jnp.asarray([0.0, 0.0, -props.g], a.dtype)
+        if rot_enabled:
+            R = mo.rotation_matrix(motion.orientation(t))
+            return R.T @ (g_lab - a)
+        return g_lab - a
+
+    def interp_to_faces(q, qax, ax):
+        """Velocity component living on qax-faces, averaged to ax-faces."""
+        if qax == ax:
+            return q
+        return st.cells_to_faces_avg(st.faces_to_cells_avg(q, qax), ax)
 
     def courant_numbers(u, v, w, alpha, dt):
         """Cell Courant and interface Courant (controlDict maxCo/maxAlphaCo)."""
@@ -132,6 +151,8 @@ def make_step(
         # --- explicit conservative momentum (no pressure, no gravity) ---
         t_mid = state.t + 0.5 * dt
         G = effective_g(t_mid, params)
+        if rot_enabled:
+            omega_b, domega_b = fr.angular_rates(motion, t_mid)
 
         kappa = None
         if props.sigma != 0.0:
@@ -148,6 +169,15 @@ def make_step(
             # Uniform effective-gravity acceleration (total-p formulation —
             # see the forcing note in solver/momentum.py) + CSF.
             q_star = q_star + dt * G[ax]
+            if rot_enabled:
+                # Centrifugal + Euler + Coriolis sources of the rotating
+                # tank frame (solver/frame.py; explicit in the old velocity).
+                q_star = q_star + dt * fr.rotational_acceleration(
+                    ax, face_xyz[ax], omega_b, domega_b,
+                    interp_to_faces(vels[0], 0, ax),
+                    interp_to_faces(vels[1], 1, ax),
+                    interp_to_faces(vels[2], 2, ax),
+                )
             if kappa is not None:
                 q_star = q_star + dt * mom.csf_force(
                     alpha_new, kappa, props.sigma, ax, spacing[ax], beta_f[ax]

@@ -180,6 +180,29 @@ def write_6dof_table(path: str, times, trans, rot):
         f.write(")\n")
 
 
+def generate_sine_motion_table(
+    path: str,
+    n: int = 100,
+    duration: float = 40.0,
+    trans_amp=(2.0, 3.0, 2.0),
+    trans_omega=(0.5, 0.8, 0.4),
+    rot_amp_deg=(30.0, 10.0, 10.0),
+    rot_omega=(0.4, 0.7, 0.5),
+):
+    """The reference gen6DoF table: sinusoidal translation+rotation,
+    100 samples over 40 s (/root/reference/sloshingTank3D6DoF/gen6DoF/
+    gen6DoF.C:44-82). Same math as native/gen6dof.cpp's `sine` mode."""
+    t = np.arange(n) * (duration / (n - 1))
+    trans = np.stack(
+        [a * np.sin(w * t) for a, w in zip(trans_amp, trans_omega)], -1
+    )
+    rot = np.stack(
+        [a * np.sin(w * t) for a, w in zip(rot_amp_deg, rot_omega)], -1
+    )
+    write_6dof_table(path, t, trans, rot)
+    return path
+
+
 def generate_orbital_motion_table(
     path: str, r_max: float, freq: float, duration: float, dt: float,
     ramp_duration: float,
