@@ -69,7 +69,13 @@ class SolverControls:
     c_alpha: float = 1.0         # fvSchemes:30    interfaceCompression cAlpha 1
     n_correctors: int = 1        # projection is exact on orthogonal MAC grids;
                                  # reference nCorrectors=2 compensates lagged H/A
-    p_tol_rel: float = 1e-4      # relative CG tolerance per incremental solve
+    p_tol_rel: float = 1e-3      # relative CG tolerance per incremental
+                                 # (warm-started, diagonally-scaled) solve.
+                                 # Measured at the 1M-cell flagship: the
+                                 # step's continuity error is identical to
+                                 # 1e-4 (dominated by f32 flux arithmetic)
+                                 # at 2x fewer CG iterations; 1e-2 degrades
+                                 # div(phi) by 60x — do not loosen further.
     p_tol_abs: float = 1e-8      # fvSolution:46   p_rgh tolerance (scaled)
     p_max_iters: int = 50
     write_interval: float = 0.05  # controlDict:32 writeInterval

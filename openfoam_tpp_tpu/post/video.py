@@ -50,8 +50,12 @@ def generate_video(case_dir: str, fps: int = 30, fname: str = "animation.mp4") -
         return False
     print(f"  🎬 Rendering {len(snaps)} frames...")
 
-    zmin = 0.3 * params["H"]
-    zmax = 0.7 * params["H"]
+    # Frame the waterline band (works for both model families: cylinder
+    # tanks fill to H/2, the 6DoF box to z=0 mid-tank).
+    z_lo, z_hi = geom.origin[2], geom.H
+    z_fill = params["H"] / 2.0 if "H" in params else 0.0
+    zmin = z_fill - 0.2 * (z_hi - z_lo)
+    zmax = z_fill + 0.2 * (z_hi - z_lo)
     for t, alpha in snaps:
         eta = np.asarray(liquid_height(np.asarray(alpha), geom, z_floor))
         eta = np.where(wet, eta, np.nan)

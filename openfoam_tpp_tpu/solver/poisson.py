@@ -14,7 +14,10 @@ geometric multigrid V-cycle with Galerkin coarsening:
   * coarse-level weights = sums of the fine cross-weights (exact Galerkin
     for piecewise-constant transfer — handles the 1000:1 β jump at the
     interface, the GAMG-parity property),
-  * damped-Jacobi smoothing (pure stencil ops; no red-black masks needed).
+  * Chebyshev polynomial smoothing (same cost per degree as a Jacobi
+    sweep, better high-frequency damping),
+  * CG run in the symmetrically diagonal-scaled space (unit diagonal) —
+    mandatory for f32 stability at the interface ρ jump (see solve_pcg).
 
 Aperture-zero faces give natural homogeneous Neumann (`fixedFluxPressure`
 parity); the atmosphere patch is a half-cell Dirichlet p_rgh = 0 carried
@@ -39,6 +42,9 @@ from openfoam_tpp_tpu.ops import stencil as st
 _JACOBI_OMEGA = 0.8
 _COARSEST_SWEEPS = 24
 _SMOOTH_SWEEPS = 2
+_SMOOTHER = "chebyshev"   # 'chebyshev' (degree = _SMOOTH_SWEEPS) | 'jacobi'
+_CHEB_LMAX = 2.0          # Gershgorin bound for D^-1 A (positive weights)
+_CHEB_LMIN_FRAC = 0.25    # smooth the upper 3/4 of the spectrum
 
 
 @dataclasses.dataclass
@@ -80,6 +86,37 @@ def _jacobi(level: _Level, x, b, n):
     return x
 
 
+def _chebyshev(level: _Level, x, b, degree):
+    """Chebyshev polynomial smoother on the Jacobi-preconditioned operator,
+    targeting eigenvalues in [_CHEB_LMIN_FRAC·λmax, λmax] (hypre-style AMG
+    smoothing). Same cost per degree as one Jacobi sweep, markedly better
+    high-frequency damping — fewer outer CG iterations per V-cycle."""
+    inv_d = 1.0 / level.diag
+    lmax = _CHEB_LMAX
+    a, c = _CHEB_LMIN_FRAC * lmax, 1.02 * lmax
+    theta = 0.5 * (c + a)
+    delta = 0.5 * (c - a)
+    sigma = theta / delta
+
+    r = b - _weights_apply(level, x)
+    p = inv_d * r / theta
+    x = x + p
+    rho = 1.0 / sigma
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = b - _weights_apply(level, x)
+        p = (rho_new * rho) * p + (2.0 * rho_new / delta) * (inv_d * r)
+        x = x + p
+        rho = rho_new
+    return x
+
+
+def _smooth(level: _Level, x, b, n):
+    if _SMOOTHER == "chebyshev":
+        return _chebyshev(level, x, b, n)
+    return _jacobi(level, x, b, n)
+
+
 def _pad_axis_even(a, axis):
     """Zero-pad one axis to even length (ghost cells carry zero weight)."""
     if a.shape[axis] % 2 == 0:
@@ -104,7 +141,15 @@ def _restrict_cells(a):
 
 
 def _prolong_cells(a, fine_shape):
-    """Piecewise-constant injection back to the fine grid."""
+    """Piecewise-constant injection back to the fine grid.
+
+    PWC transfers are kept deliberately: the coarse 7-point weights built
+    by `_coarsen_face_weights` are the EXACT Galerkin operator RAP for
+    this (R = sum, P = inject) pair, which is what makes the hierarchy
+    robust at the 1000:1 interface β jump. A trilinear-P variant was
+    measured (cold 52³ flagship problem, random RHS) at 60+ CG iterations
+    without convergence vs 27–31 for PWC — smoother transfer is NOT worth
+    breaking Galerkin consistency here."""
     out = jnp.repeat(jnp.repeat(jnp.repeat(a, 2, 0), 2, 1), 2, 2)
     return out[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
 
@@ -156,12 +201,12 @@ def _vcycle(levels, li, b):
     level = levels[li]
     if li == len(levels) - 1:
         return _jacobi(level, jnp.zeros_like(b), b, _COARSEST_SWEEPS)
-    x = _jacobi(level, jnp.zeros_like(b), b, _SMOOTH_SWEEPS)
+    x = _smooth(level, jnp.zeros_like(b), b, _SMOOTH_SWEEPS)
     r = b - _weights_apply(level, x)
     rc = _restrict_cells(r)
     ec = _vcycle(levels, li + 1, rc)
     x = x + _prolong_cells(ec, level.shape)
-    x = _jacobi(level, x, b, _SMOOTH_SWEEPS)
+    x = _smooth(level, x, b, _SMOOTH_SWEEPS)
     return x
 
 
@@ -215,21 +260,21 @@ def _dot(a, b):
     return jnp.sum(a * b, dtype=jnp.float32)
 
 
-def _demean(x, fluid, n_fluid):
-    mean = jnp.sum(jnp.where(fluid, x, 0.0)) / n_fluid
-    return jnp.where(fluid, x - mean, x)
+def _project_out(x, v, fluid, vv):
+    """Remove the component of x along nullspace vector v (fluid support)."""
+    coef = _dot(jnp.where(fluid, x, 0.0), v) / vv
+    return jnp.where(fluid, x - coef * v, x)
 
 
 _F32_CG_FLOOR = 3e-5  # relative depth one f32 CG sweep can reliably reach
 
 
-def _cg_core(problem, precond, b, tol, max_iters):
+def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv):
     """Plain preconditioned CG from a zero initial guess (recurrence
-    residual untouched — refreshing it mid-flight destroys conjugacy)."""
-    fluid = problem.fluid
-    n_fluid = jnp.maximum(jnp.sum(fluid.astype(jnp.float32)), 1.0)
+    residual untouched — refreshing it mid-flight destroys conjugacy).
+    Operates entirely in the diagonally-scaled space (see solve_pcg)."""
     r = b
-    z = jnp.where(fluid, precond(r), 0.0)
+    z = precond_h(r)
     x = jnp.zeros_like(b)
     p = z
     rz = _dot(r, z)
@@ -240,14 +285,14 @@ def _cg_core(problem, precond, b, tol, max_iters):
 
     def body(carry):
         x, r, p, rz, k = carry
-        ap = jnp.where(fluid, problem.apply(p), 0.0)
+        ap = jnp.where(fluid, apply_h(p), 0.0)
         denom = _dot(p, ap)
         alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
-        if problem.singular:
-            r = _demean(r, fluid, n_fluid)
-        z = jnp.where(fluid, precond(r), 0.0)
+        if nullv is not None:
+            r = _project_out(r, nullv, fluid, nullvv)
+        z = precond_h(r)
         rz_new = _dot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
         p = z + beta * p
@@ -269,42 +314,67 @@ def solve_pcg(
     max_iters: int = 60,
     n_refine: int = 3,
 ):
-    """MG-preconditioned CG with outer iterative refinement.
+    """MG-preconditioned CG with outer iterative refinement, run in the
+    symmetrically diagonal-scaled space Â = D^-½ A D^-½.
+
+    The scaling is essential in f32: the raw operator's row scales jump
+    ~1000:1 across the water/air interface (β = 1/ρ), so the CG dot
+    products p·Ap suffer catastrophic cancellation and the recurrence
+    breaks down (observed: denominators going negative after ~20
+    iterations on a 52³ cold-start problem). With unit-diagonal scaling
+    every row contributes at the same magnitude and the f32 recurrence is
+    stable. Residual norms (and the tolerances) are therefore measured in
+    the scaled space — the same normalization class OpenFOAM applies to
+    its reported residuals.
 
     Each refinement pass restarts CG on the freshly evaluated true
-    residual (mixed-precision-style defeat of the f32 recurrence floor —
-    a single f32 CG sweep bottoms out near 3e-5 relative; restarting on
-    the true residual compounds the reduction). Returns
-    (x, true-residual norm, total iterations). All reductions are
-    jnp.sum — psum over the device mesh under sharded jit.
+    residual (mixed-precision-style defeat of the f32 recurrence floor).
+    Returns (x, scaled-residual norm, total iterations). All reductions
+    are jnp.sum — psum over the device mesh under sharded jit.
     """
     fluid = problem.fluid
     if precond is None:
         precond = problem.precond
-    n_fluid = jnp.maximum(jnp.sum(fluid.astype(jnp.float32)), 1.0)
 
-    b = jnp.where(fluid, b, 0.0)
+    s = jnp.where(fluid, 1.0 / jnp.sqrt(problem.diag), 0.0)
+    inv_s = jnp.where(fluid, jnp.sqrt(problem.diag), 0.0)
+
+    def apply_h(p):
+        return s * problem.apply(s * p)
+
+    def precond_h(r):
+        return inv_s * jnp.where(fluid, precond(inv_s * r), 0.0)
+
+    # Nullspace of Â for closed tanks: A·1 = 0  ⇒  Â·(D^½ 1) = 0.
+    nullv = inv_s if problem.singular else None
+    nullvv = _dot(inv_s, inv_s) if problem.singular else None
+
+    bh = s * jnp.where(fluid, b, 0.0)
     if problem.singular:
-        b = _demean(b, fluid, n_fluid)
+        bh = _project_out(bh, nullv, fluid, nullvv)
 
-    x = jnp.where(fluid, x0, 0.0)
+    xh = jnp.where(fluid, inv_s * x0, 0.0)
 
-    def true_residual(x):
-        r = jnp.where(fluid, b - problem.apply(x), 0.0)
+    def true_residual(xh):
+        r = jnp.where(fluid, bh - apply_h(xh), 0.0)
         if problem.singular:
-            r = _demean(r, fluid, n_fluid)
+            r = _project_out(r, nullv, fluid, nullvv)
         return r
 
-    r = true_residual(x)
+    r = true_residual(xh)
     tol = jnp.maximum(tol_rel * jnp.sqrt(_dot(r, r)), tol_abs)
 
     total = jnp.asarray(0, jnp.int32)
     for _ in range(n_refine):
         inner_tol = jnp.maximum(_F32_CG_FLOOR * jnp.sqrt(_dot(r, r)), tol)
-        dx, iters = _cg_core(problem, precond, r, inner_tol, max_iters)
-        x = x + dx
+        dx, iters = _cg_core(apply_h, precond_h, fluid, r, inner_tol,
+                             max_iters, nullv, nullvv)
+        xh = xh + dx
         total = total + iters
-        r = true_residual(x)
+        r = true_residual(xh)
+    x = s * xh
     if problem.singular:
-        x = _demean(x, fluid, n_fluid)
+        n_fluid = jnp.maximum(jnp.sum(fluid.astype(jnp.float32)), 1.0)
+        mean = jnp.sum(jnp.where(fluid, x, 0.0)) / n_fluid
+        x = jnp.where(fluid, x - mean, x)
     return x, jnp.sqrt(_dot(r, r)), total

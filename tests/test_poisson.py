@@ -2,6 +2,7 @@
 operator, MG convergence depth, and singular (closed-tank) handling."""
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from openfoam_tpp_tpu.config import PhysicalProperties
@@ -40,7 +41,11 @@ def test_manufactured_solution_cylinder():
 
     rel, err, iters = run()
     assert float(rel) < 1e-6
-    assert float(err) < 1e-3          # pointwise on unit-scale p
+    # Pointwise error on unit-scale p. The stopping criterion lives in the
+    # diagonally-scaled space (solve_pcg), where air-region residuals are
+    # down-weighted by the ~1000:1 diag ratio — pointwise error there runs
+    # slightly above the scaled-residual level, hence 2e-3 (f32 floor).
+    assert float(err) < 2e-3
     assert int(iters) < 40            # MG must be GAMG-class, not Jacobi-class
 
 
@@ -80,3 +85,38 @@ def test_singular_closed_tank():
 
     err, res, iters = run()
     assert float(err) < 2e-3
+
+
+def test_cold_random_rhs_two_phase_no_breakdown():
+    """Regression: f32 CG on the raw (unscaled) two-phase operator broke
+    down on cold starts with rough RHS (p.Ap denominators went negative
+    after ~20 iterations at 52 cells/side — 1000:1 row-scale cancellation).
+    The diagonally-scaled CG must converge monotonically."""
+    import jax
+
+    from openfoam_tpp_tpu.config import PhysicalProperties
+    from openfoam_tpp_tpu.core.state import init_state, mixture_density
+    from openfoam_tpp_tpu.mesh import build_tank_geometry
+    from openfoam_tpp_tpu.solver import poisson as po
+    from openfoam_tpp_tpu.solver.timestep import geometry_arrays
+
+    geom = build_tank_geometry(H=0.208, D=0.2, mesh=0.0052, geo="flat")
+    ga = geometry_arrays(geom)
+    rho = mixture_density(init_state(geom).alpha, PhysicalProperties())
+    spacing = tuple(float(s) for s in geom.spacing)
+    prob = po.build_poisson(ga, spacing, rho, ga["top_open"])
+    b = jnp.where(
+        prob.fluid,
+        jax.random.normal(jax.random.PRNGKey(0), prob.fluid.shape, jnp.float32),
+        0.0,
+    )
+    x, res, iters = jax.jit(
+        lambda b: po.solve_pcg(prob, b, jnp.zeros_like(b),
+                               tol_rel=1e-4, max_iters=60)
+    )(b)
+    # Scaled-residual reduction achieved and no runaway iterations.
+    s = np.where(np.asarray(prob.fluid), 1.0 / np.sqrt(np.asarray(prob.diag)), 0.0)
+    r0 = float(np.linalg.norm(s * np.asarray(b)))
+    assert float(res) < 1e-3 * r0, (float(res), r0)
+    assert int(iters) < 120
+    assert np.isfinite(np.asarray(x)).all()
