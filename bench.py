@@ -37,11 +37,11 @@ def main():
     chunk = 2 if small else 5
 
     H, D, freq, R = 0.208, 0.2, 1.88, 0.004
-    geom = build_tank_geometry(H=H, D=D, mesh=mesh, geo="flat")
+    geom = build_tank_geometry(H=H, D=D, mesh=mesh, geo="flat", round_to=8)
     n_cells = geom.n_fluid_cells
 
     props = PhysicalProperties()
-    controls = SolverControls()
+    controls = SolverControls(use_pallas=jax.default_backend() == "tpu")
     step = make_step(geom, props, controls)
     multi = jax.jit(make_multi_step(step, chunk))
     params = CaseParams.make(R=R, freq=freq, duration=20.0)

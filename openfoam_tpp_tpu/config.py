@@ -79,3 +79,8 @@ class SolverControls:
     p_tol_abs: float = 1e-8      # fvSolution:46   p_rgh tolerance (scaled)
     p_max_iters: int = 50
     write_interval: float = 0.05  # controlDict:32 writeInterval
+    use_pallas: bool = False     # fused TPU stencil kernels for the CG
+                                 # operator (ops/pallas/). Enable on real
+                                 # TPU single-device paths; requires
+                                 # nx % 8 == 0 (geometry round_to=8) —
+                                 # silently falls back otherwise.

@@ -66,8 +66,11 @@ def build_case_geometry(params: dict):
             params["Lx"], params["Ly"], params["Lz"], params["mesh"],
             z0=-params["Lz"] / 2.0, open_top=False,
         )
+    # round_to=8: nx/ny padded (with solid, zero-aperture cells) to a
+    # multiple of 8 — aligns TPU tiles and enables the Pallas kernels.
     return build_tank_geometry(
-        H=params["H"], D=params["D"], mesh=params["mesh"], geo=params["geo"]
+        H=params["H"], D=params["D"], mesh=params["mesh"], geo=params["geo"],
+        round_to=8,
     )
 
 
@@ -105,7 +108,11 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
         )
     hit = _ADVANCE_CACHE.get(key)
     if hit is None:
+        import dataclasses
+
         geom = build_case_geometry(params)
+        if jax.default_backend() == "tpu" and geom.shape[0] % 8 == 0:
+            controls = dataclasses.replace(controls, use_pallas=True)
         motion = build_case_motion(params, case_dir) if case_dir else None
         step = make_step(geom, props, controls, motion=motion)
         hit = (geom, jax.jit(make_advance(step)))

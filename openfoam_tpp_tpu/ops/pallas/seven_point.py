@@ -1,0 +1,99 @@
+"""Fused 7-point variable-coefficient stencil apply — Pallas TPU kernel.
+
+The pressure operator A(p) = diag·p − Σ_f w_f·p_nb is the hottest op in
+the solver (~5 finest-grid applies per MG-CG iteration × ~14 iterations
+per step). The jnp version lowers to concat-based shifts that XLA
+executes at ~80 GB/s effective; this kernel streams x-slabs through VMEM
+and evaluates the full stencil in one fused pass.
+
+Halo handling: `p` is passed as THREE BlockSpec views of the same array —
+the current slab plus the previous/next slabs (index maps clamped at the
+ends). Mosaic double-buffers the block fetches automatically, so the
+halo planes cost pipelined HBM reads, not synchronous DMAs; x-neighbor
+slices are concatenations along the untiled major axis, y/z neighbors
+are sublane/lane `pltpu.roll`s.
+
+Weight layout: the six per-face weight arrays are pre-split to CELL
+shape (`split_weights`): wxl[c] multiplies p[x−1], wxh[c] multiplies
+p[x+1], etc. Domain-boundary faces carry zero weight
+(mesh/geometry.py `_finalize`), which makes the wrap-around values of
+`roll` and the clamped end-blocks harmless — always multiplied by 0.
+
+Requirements: nx divisible by SLAB (build the geometry with
+`round_to=SLAB`); f32. solver/poisson.py falls back to the jnp path
+otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SLAB = 8  # x-planes per grid step; nx must be a multiple
+
+
+def _kernel(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, diag, out):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    s = out.shape[0]
+    ny, nz = out.shape[1], out.shape[2]
+
+    c = p_cur[:, :, :]
+    # x-neighbors: last plane of the previous slab / first of the next.
+    # At the global ends the clamped view aliases the current slab; the
+    # stray value is multiplied by the zero boundary-face weight.
+    xm = jnp.concatenate([p_prev[s - 1 : s, :, :], c[: s - 1, :, :]], axis=0)
+    xp = jnp.concatenate([c[1:, :, :], p_next[0:1, :, :]], axis=0)
+    ym = pltpu.roll(c, 1, 1)
+    yp = pltpu.roll(c, ny - 1, 1)   # roll by -1 (shift must be >= 0)
+    zm = pltpu.roll(c, 1, 2)
+    zp = pltpu.roll(c, nz - 1, 2)
+    out[:, :, :] = diag[:, :, :] * c - (
+        wxl[:, :, :] * xm + wxh[:, :, :] * xp
+        + wyl[:, :, :] * ym + wyh[:, :, :] * yp
+        + wzl[:, :, :] * zm + wzh[:, :, :] * zp
+    )
+
+
+def split_weights(wx, wy, wz):
+    """Face weight arrays → six cell-shaped neighbor-coefficient arrays."""
+    return (
+        wx[:-1], wx[1:],
+        wy[:, :-1], wy[:, 1:],
+        wz[:, :, :-1], wz[:, :, 1:],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def apply_7pt(p, split, diag, interpret=False):
+    """A(p) via the fused kernel. `split` from `split_weights`."""
+    nx, ny, nz = p.shape
+    assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
+    nblocks = nx // SLAB
+
+    def blk(index_map=lambda i: (i, 0, 0)):
+        return pl.BlockSpec((SLAB, ny, nz), index_map,
+                            memory_space=pltpu.VMEM)
+
+    nb = nblocks - 1
+    return pl.pallas_call(
+        _kernel,
+        grid=(nblocks,),
+        in_specs=[
+            blk(lambda i: (jnp.maximum(i - 1, 0), 0, 0)),   # p_prev
+            blk(),                                           # p_cur
+            blk(lambda i: (jnp.minimum(i + 1, nb), 0, 0)),   # p_next
+        ] + [blk() for _ in range(7)],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        interpret=interpret,
+    )(p, p, p, *split, diag)
+
+
+def supported(shape, dtype=jnp.float32) -> bool:
+    nx, ny, nz = shape
+    return nx % SLAB == 0 and dtype == jnp.float32

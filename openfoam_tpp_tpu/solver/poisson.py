@@ -210,8 +210,18 @@ def _vcycle(levels, li, b):
     return x
 
 
-def build_poisson(geom_arrays, spacing, rho, top_open):
-    """Construct operator + MG preconditioner for the current density."""
+_PRECOND_DTYPE = jnp.bfloat16  # V-cycle runs in bf16: it is ONLY a
+# preconditioner (any fixed SPD-ish linear operator works inside CG with
+# f32 outer recurrence + iterative-refinement restarts), and the V-cycle
+# is ~60% of the pressure-solve HBM traffic — bf16 halves it.
+
+
+def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
+    """Construct operator + MG preconditioner for the current density.
+
+    `use_pallas`: evaluate the outer CG operator with the fused Pallas
+    stencil kernel (ops/pallas/seven_point.py) when the grid shape
+    supports it — TPU single-device paths only."""
     hx, hy, hz = spacing
     vfrac = geom_arrays["vfrac"]
     fluid = vfrac > 0.0
@@ -244,11 +254,31 @@ def build_poisson(geom_arrays, spacing, rho, top_open):
     levels = _build_levels(wx, wy, wz, extra)
     top = levels[0]
 
-    def apply(p):
-        return _weights_apply(top, p)
+    # Separate reduced-precision hierarchy for the preconditioner.
+    lp = _PRECOND_DTYPE
+    levels_lp = [
+        _Level(wx=l.wx.astype(lp), wy=l.wy.astype(lp), wz=l.wz.astype(lp),
+               extra=l.extra.astype(lp), diag=l.diag.astype(lp),
+               shape=l.shape)
+        for l in levels
+    ]
+
+    if use_pallas:
+        from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+
+        if sp.supported(tuple(top.diag.shape), top.diag.dtype):
+            split = sp.split_weights(top.wx, top.wy, top.wz)
+
+            def apply(p):
+                return sp.apply_7pt(p, split, top.diag)
+        else:
+            use_pallas = False
+    if not use_pallas:
+        def apply(p):
+            return _weights_apply(top, p)
 
     def precond(r):
-        return _vcycle(levels, 0, r)
+        return _vcycle(levels_lp, 0, r.astype(lp)).astype(r.dtype)
 
     return PoissonProblem(
         apply=apply, precond=precond, diag=top.diag, fluid=fluid,

@@ -144,7 +144,8 @@ def make_step(
         # --- Poisson operator for the new density (also supplies the
         #     face 1/ρ interpolants shared by forces & correction) ---
         prob = poisson.build_poisson(
-            ga, spacing, rho_new, ga["top_open"] if open_top else None
+            ga, spacing, rho_new, ga["top_open"] if open_top else None,
+            use_pallas=controls.use_pallas,
         )
         beta_f = prob.beta_faces
 

@@ -1,0 +1,40 @@
+"""Pallas TPU kernel correctness (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openfoam_tpp_tpu.config import PhysicalProperties
+from openfoam_tpp_tpu.core.state import init_state, mixture_density
+from openfoam_tpp_tpu.mesh import build_tank_geometry
+from openfoam_tpp_tpu.ops import stencil as st
+from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+from openfoam_tpp_tpu.solver import poisson as po
+from openfoam_tpp_tpu.solver.timestep import geometry_arrays
+
+
+def test_apply_7pt_matches_jnp_operator():
+    geom = build_tank_geometry(H=0.05, D=0.02, mesh=0.0025, geo="flat",
+                               round_to=sp.SLAB)
+    assert sp.supported(geom.shape)
+    ga = geometry_arrays(geom)
+    rho = mixture_density(init_state(geom).alpha, PhysicalProperties())
+    spacing = tuple(float(s) for s in geom.spacing)
+    prob = po.build_poisson(ga, spacing, rho, ga["top_open"])
+
+    hx, hy, hz = spacing
+    bx = 1.0 / st.cells_to_faces_avg(rho, 0)
+    by = 1.0 / st.cells_to_faces_avg(rho, 1)
+    bz = 1.0 / st.cells_to_faces_avg(rho, 2)
+    wx = ga["ax"] * bx / (hx * hx)
+    wy = ga["ay"] * by / (hy * hy)
+    wz = (ga["az"] * bz / (hz * hz)).at[:, :, -1].set(0.0)
+
+    p = jax.random.normal(jax.random.PRNGKey(0), geom.shape, jnp.float32)
+    ref = np.asarray(prob.apply(p))
+    out = np.asarray(
+        sp.apply_7pt(p, sp.split_weights(wx, wy, wz), prob.diag,
+                     interpret=True)
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 1e-5
