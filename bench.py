@@ -20,6 +20,85 @@ import time
 import numpy as np
 
 
+def bench_sweep():
+    """Sweep-throughput benchmark: N (f, R) cases vmapped on one chip —
+    the reference farms these as N independent Slurm jobs
+    (/root/reference/main.py:599-608); here one jitted batched step
+    advances all of them (BASELINE.json "100+ cases/chip" north star)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
+    from openfoam_tpp_tpu.mesh import build_tank_geometry
+    from openfoam_tpp_tpu.parallel.sweep import (
+        batch_params,
+        batch_states,
+        make_sweep_step,
+    )
+
+    n_cases = int(os.environ.get("BENCH_CASES", "128"))
+    mesh = float(os.environ.get("BENCH_MESH", "0.002"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # Default-case geometry (DEFAULTS: H=0.1, D=0.02).
+    geom = build_tank_geometry(H=0.1, D=0.02, mesh=mesh, geo="flat",
+                               round_to=8)
+    n_cells = geom.n_fluid_cells
+
+    sweep_step = make_sweep_step(geom, PhysicalProperties(), SolverControls())
+    rows = [
+        {"R": 0.002 + 2e-5 * i, "freq": 1.5 + 0.01 * i, "duration": 10.0}
+        for i in range(n_cases)
+    ]
+    params = batch_params(rows)
+    states = batch_states(geom, n_cases)
+
+    @jax.jit
+    def advance(states, params):
+        def body(s, _):
+            s2, d = sweep_step(s, params)
+            return s2, None
+
+        out, _ = jax.lax.scan(body, states, None, length=5)
+        return out
+
+    states = advance(states, params)
+    jax.block_until_ready(states)
+    for _ in range(3):
+        states = advance(states, params)
+    jax.block_until_ready(states)
+
+    t0 = float(np.asarray(states.t[0]))
+    wall0 = time.perf_counter()
+    done = 0
+    while done < n_steps:
+        states = advance(states, params)
+        done += 5
+    jax.block_until_ready(states)
+    wall = time.perf_counter() - wall0
+    t1 = float(np.asarray(states.t[0]))
+
+    updates = n_cells * n_cases * done / wall
+    sim_rate = (t1 - t0) / wall
+    result = {
+        "metric": f"sweep cell-updates/sec/chip ({n_cases} vmapped cases)",
+        "value": round(updates, 1),
+        "unit": "cell-updates/s",
+        "vs_baseline": round(updates / 1.12e8, 2),
+        "detail": {
+            "n_cases": n_cases,
+            "cells_per_case": n_cells,
+            "grid": list(geom.shape),
+            "steps_timed": done,
+            "wall_seconds": round(wall, 3),
+            "sim_seconds_per_wall_second": round(sim_rate, 5),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -98,4 +177,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SWEEP") == "1":
+        bench_sweep()
+    else:
+        main()

@@ -147,8 +147,23 @@ def menu_run_cases(base_dir: str = "."):
     sel = _prompt("Select cases (e.g. 1,3-5 or all): ", "")
     if not sel:
         return
+    # Cluster submission parity ("Are you on Oscar?" — USER_GUIDE.md:12):
+    # offered when a Slurm scheduler is present.
+    import shutil as _sh
+
+    submit = False
+    if _sh.which("sbatch"):
+        submit = _prompt(
+            "Submit to Slurm instead of running locally? [y/N]: ", "n"
+        ).lower().startswith("y")
     for idx in naming.parse_indices(sel, len(all_cases)):
-        action_run(os.path.join(base_dir, all_cases[idx]))
+        case_dir = os.path.join(base_dir, all_cases[idx])
+        if submit:
+            from openfoam_tpp_tpu.manager.submit import submit_case
+
+            submit_case(case_dir, "run")
+        else:
+            action_run(case_dir)
 
 
 def menu_postprocess(base_dir: str = "."):
@@ -199,6 +214,10 @@ def main(argv=None):
     ap.add_argument("--action", choices=sorted(ACTIONS),
                     help="headless action")
     ap.add_argument("--base-dir", default=".", help="cases root directory")
+    ap.add_argument("--submit", action="store_true",
+                    help="submit the action as a Slurm job instead of "
+                         "running it in-process (run_case_oscar parity)")
+    ap.add_argument("--partition", default="tpu", help="Slurm partition")
     args = ap.parse_args(argv)
 
     if args.headless:
@@ -208,6 +227,11 @@ def main(argv=None):
         if not os.path.isdir(case_dir):
             print(f"❌ case not found: {case_dir}")
             return 1
+        if args.submit:
+            from openfoam_tpp_tpu.manager.submit import submit_case
+
+            return 0 if submit_case(case_dir, args.action,
+                                    partition=args.partition) else 1
         print(f"Post-processing: {args.action} on {args.case}"
               if args.action != "run" else f"Running: {args.case}")
         ok = ACTIONS[args.action](case_dir)

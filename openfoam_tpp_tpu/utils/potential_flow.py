@@ -146,6 +146,122 @@ def generate_wall_elevation_csv(
     return output_file, summary
 
 
+def _save_frames(frames, out_path: str, fps: int):
+    """Encode frames to MP4 via imageio, falling back to PNG frames."""
+    try:
+        import imageio
+
+        imageio.mimsave(out_path, frames, fps=fps)
+        return out_path
+    except Exception:
+        base = os.path.splitext(out_path)[0]
+        import matplotlib.pyplot as plt
+
+        for i, fr in enumerate(frames):
+            plt.imsave(f"{base}_frame_{i:04d}.png", fr)
+        return base + "_frame_*.png"
+
+
+def generate_3d_animation(
+    out_path: str,
+    R: float,
+    a: float,
+    freq: float,
+    d: float,
+    duration: float = 4.0,
+    fps: int = 20,
+    n_r: int = 24,
+    n_theta: int = 48,
+    root_mode: str = "reference",
+):
+    """3-D rotating-wave surface animation from linear theory —
+    capability parity with the reference's `generate_3d_animation`
+    (utils/potential_flow.py:238-350): reconstructs
+    Z(r, θ, t) = ζ_w(θ, t) · J₁(ε₁ r/R)/J₁(ε₁) on a polar grid and renders
+    a matplotlib surface per frame."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    summary = predict(R, a, freq, d, root_mode=root_mode)
+    omega, a_pt = summary["omega"], summary["A_PT"]
+
+    r = np.linspace(0.0, R, n_r)
+    th = np.linspace(0.0, 2.0 * np.pi, n_theta)
+    RR, TT = np.meshgrid(r, th, indexing="ij")
+    X, Y = RR * np.cos(TT), RR * np.sin(TT)
+
+    frames = []
+    times = np.arange(0.0, duration, 1.0 / fps)
+    for t in times:
+        Z = surface_shape(RR, TT, t, a_pt, omega, R, root_mode=root_mode)
+        fig = plt.figure(figsize=(6, 5), dpi=100)
+        ax = fig.add_subplot(111, projection="3d")
+        ax.plot_surface(X, Y, Z, cmap="viridis", vmin=-a_pt, vmax=a_pt,
+                        linewidth=0, antialiased=False)
+        ax.set_zlim(-2 * a_pt if a_pt > 0 else -1, 2 * a_pt if a_pt > 0 else 1)
+        ax.set_title(f"Potential flow surface  t = {t:.2f} s")
+        fig.canvas.draw()
+        frames.append(np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy())
+        plt.close(fig)
+    return _save_frames(frames, out_path, fps), summary
+
+
+def generate_dashboard_animation(
+    out_path: str,
+    R: float,
+    a: float,
+    freq: float,
+    d: float,
+    duration: float = 4.0,
+    fps: int = 20,
+    root_mode: str = "reference",
+):
+    """Dashboard animation — parity with the reference's
+    `generate_dashboard_animation` (utils/potential_flow.py:352-402):
+    polar wall-elevation snapshot plus wave-probe traces at θ = 0°, 90°,
+    180° (potential_flow.py:391)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    summary = predict(R, a, freq, d, root_mode=root_mode)
+    omega, a_pt = summary["omega"], summary["A_PT"]
+
+    theta = np.linspace(0.0, 2.0 * np.pi, 128)
+    probes = [0.0, np.pi / 2.0, np.pi]
+    times = np.arange(0.0, duration, 1.0 / fps)
+    traces = [wall_elevation(p, times, a_pt, omega) for p in probes]
+
+    frames = []
+    for i, t in enumerate(times):
+        fig, (ax1, ax2) = plt.subplots(
+            1, 2, figsize=(9, 4), dpi=100,
+            subplot_kw={}, gridspec_kw={"width_ratios": [1, 1.4]}
+        )
+        ax1.plot(theta, wall_elevation(theta, t, a_pt, omega))
+        ax1.set_xlabel("theta [rad]")
+        ax1.set_ylabel("zeta_wall [m]")
+        ax1.set_ylim(-1.5 * a_pt if a_pt > 0 else -1,
+                     1.5 * a_pt if a_pt > 0 else 1)
+        ax1.set_title(f"Wall elevation  t = {t:.2f} s")
+        for p, tr, lbl in zip(probes, traces, ("0°", "90°", "180°")):
+            ax2.plot(times[: i + 1], tr[: i + 1], label=f"probe {lbl}")
+        ax2.set_xlim(0, duration)
+        ax2.set_ylim(-1.5 * a_pt if a_pt > 0 else -1,
+                     1.5 * a_pt if a_pt > 0 else 1)
+        ax2.set_xlabel("t [s]")
+        ax2.legend(loc="upper right", fontsize=8)
+        ax2.set_title("Wave probes")
+        fig.tight_layout()
+        fig.canvas.draw()
+        frames.append(np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy())
+        plt.close(fig)
+    return _save_frames(frames, out_path, fps), summary
+
+
 def print_summary(summary: dict):
     """Console summary with the reference's exact layout
     (potential_flow.py:205-222; verifiable against post_flow.117896.out)."""
@@ -166,3 +282,41 @@ def print_summary(summary: dict):
     print(f"  Modes Used:                {summary['n_modes']}")
     print(f"  Output File:               {summary.get('output_file', '-')}")
     print(bar + "\n")
+
+
+def _main(argv=None):
+    """Standalone CLI — parity with the reference module's own entry point
+    (utils/potential_flow.py:431-456)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Linear potential-flow prediction for an orbitally "
+                    "shaken cylinder")
+    ap.add_argument("--R", type=float, required=True, help="cylinder radius [m]")
+    ap.add_argument("--a", type=float, required=True, help="orbital radius [m]")
+    ap.add_argument("--freq", type=float, required=True, help="frequency [Hz]")
+    ap.add_argument("--depth", type=float, required=True, help="liquid depth [m]")
+    ap.add_argument("--duration", type=float, default=10.0)
+    ap.add_argument("--out", default=".", help="output directory")
+    ap.add_argument("--animate", action="store_true",
+                    help="also render 3D + dashboard animations")
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.out, exist_ok=True)
+    path, summary = generate_wall_elevation_csv(
+        args.out, R=args.R, a=args.a, freq=args.freq, d=args.depth,
+        duration=args.duration)
+    print_summary(summary)
+    if args.animate:
+        p3, _ = generate_3d_animation(
+            os.path.join(args.out, "potential_flow_3d.mp4"),
+            args.R, args.a, args.freq, args.depth)
+        pd, _ = generate_dashboard_animation(
+            os.path.join(args.out, "potential_flow_dashboard.mp4"),
+            args.R, args.a, args.freq, args.depth)
+        print(f"  animations: {p3}  {pd}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
