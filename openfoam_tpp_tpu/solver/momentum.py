@@ -67,13 +67,25 @@ def convect_face_field(q, qax, rho_phi, spacing):
     return conv
 
 
-def viscous_face_field(q, qax, mu, spacing):
+def edge_viscosities(mu):
+    """The three edge-averaged μ arrays, one per axis pair — shared by the
+    symmetric (qax, d)/(d, qax) viscous terms so each 4-point average is
+    computed once per step instead of twice."""
+    return {
+        frozenset((0, 1)): st.cells_to_faces_avg(st.cells_to_faces_avg(mu, 0), 1),
+        frozenset((0, 2)): st.cells_to_faces_avg(st.cells_to_faces_avg(mu, 0), 2),
+        frozenset((1, 2)): st.cells_to_faces_avg(st.cells_to_faces_avg(mu, 1), 2),
+    }
+
+
+def viscous_face_field(q, qax, mu, spacing, mu_edges=None):
     """∇·(μ∇q) at the q-face points (Laplacian form).
 
     Variable μ: cell-centered for the parallel direction, 4-point edge
-    average for transverse directions. The deviatoric transpose term
-    ∇·(μ(∇U)ᵀ) vanishes for constant μ by continuity and is neglected
-    (laminar sloshing, μ-gradient confined to the interface).
+    average for transverse directions (pass `mu_edges` from
+    `edge_viscosities` to share them across components). The deviatoric
+    transpose term ∇·(μ(∇U)ᵀ) vanishes for constant μ by continuity and
+    is neglected (laminar sloshing, μ-gradient confined to the interface).
     """
     out = jnp.zeros_like(q)
     for d in range(3):
@@ -84,7 +96,10 @@ def viscous_face_field(q, qax, mu, spacing):
             flux = mu * dq
             flux = _zero_pad_axis(flux, d)
         else:
-            mu_edge = st.cells_to_faces_avg(st.cells_to_faces_avg(mu, qax), d)
+            if mu_edges is not None:
+                mu_edge = mu_edges[frozenset((qax, d))]
+            else:
+                mu_edge = st.cells_to_faces_avg(st.cells_to_faces_avg(mu, qax), d)
             dq = st.gradient_at_faces(q, d, h)
             flux = mu_edge * dq
         out = out + (flux[_sl(d, slice(1, None))] - flux[_sl(d, slice(0, -1))]) / h

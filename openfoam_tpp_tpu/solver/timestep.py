@@ -160,12 +160,13 @@ def make_step(
             kappa = mom.curvature(alpha_new, spacing)
 
         vels = (state.u, state.v, state.w)
+        mu_edges = mom.edge_viscosities(mu)
         new_vels = []
         for ax, q in enumerate(vels):
             rof = st.cells_to_faces_avg(rho_old, ax)
             rnf = st.cells_to_faces_avg(rho_new, ax)
             conv = mom.convect_face_field(q, ax, rho_phi, spacing)
-            visc = mom.viscous_face_field(q, ax, mu, spacing)
+            visc = mom.viscous_face_field(q, ax, mu, spacing, mu_edges)
             q_star = (rof * q + dt * (visc - conv)) / rnf
             # Uniform effective-gravity acceleration (total-p formulation —
             # see the forcing note in solver/momentum.py) + CSF.
@@ -221,14 +222,18 @@ def make_step(
             * fluid
         )
 
-        co_new, co_a_new = courant_numbers(u_c, v_c, w_c, alpha_new, dt)
         new_state = SimState(
             alpha=alpha_new, u=u_c, v=v_c, w=w_c, p=p_new,
             t=state.t + dt, dt=dt, step=state.step + 1,
         )
+        # Diagnostics reuse the start-of-step Courant numbers (the ones
+        # that sized dt) — the end-of-step values are recomputed anyway at
+        # the next step's entry, so evaluating them here would duplicate
+        # six interpolation passes and two global reductions per step.
+        rescale = dt / jnp.maximum(state.dt, 1e-30)
         diag = StepDiagnostics(
-            courant=co_new,
-            alpha_courant=co_a_new,
+            courant=co * rescale,
+            alpha_courant=co_a * rescale,
             p_residual=p_res,
             p_iters=p_iters,
             div_error=div_err,
