@@ -23,11 +23,15 @@ from openfoam_tpp_tpu.utils import naming, resources
 # ------------------------------------------------------------ postprocessing
 
 def action_interface(case_dir: str) -> bool:
-    from openfoam_tpp_tpu.manager.runner import build_case_geometry, iterate_snapshots
+    from openfoam_tpp_tpu.manager.runner import (
+        _case_shape_hint,
+        build_case_geometry,
+        iterate_snapshots,
+    )
     from openfoam_tpp_tpu.post.interface import extract_interface
 
     params = case_mgr.load_case_params(case_dir)
-    geom = build_case_geometry(params)
+    geom = build_case_geometry(params, _case_shape_hint(case_dir))
     print(f"  📊 Extracting interface for {case_dir} (on-device column pass)...")
     out = extract_interface(case_dir, geom, iterate_snapshots(case_dir))
     print(f"  ✅ Extraction complete: {out}")

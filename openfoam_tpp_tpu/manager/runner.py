@@ -58,7 +58,10 @@ def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE):
     return advance
 
 
-def build_case_geometry(params: dict):
+def build_case_geometry(params: dict, shape_hint: tuple | None = None):
+    """Geometry for a case. `shape_hint` (from an existing checkpoint's
+    alpha shape) keeps resumed/postprocessed cases consistent with the
+    grid they were started on, across round_to policy changes."""
     if params.get("model") == "tank6dof":
         from openfoam_tpp_tpu.mesh import build_box_geometry
 
@@ -68,10 +71,27 @@ def build_case_geometry(params: dict):
         )
     # round_to=8: nx/ny padded (with solid, zero-aperture cells) to a
     # multiple of 8 — aligns TPU tiles and enables the Pallas kernels.
-    return build_tank_geometry(
-        H=params["H"], D=params["D"], mesh=params["mesh"], geo=params["geo"],
-        round_to=8,
+    for r in (8, 1):
+        geom = build_tank_geometry(
+            H=params["H"], D=params["D"], mesh=params["mesh"],
+            geo=params["geo"], round_to=r,
+        )
+        if shape_hint is None or tuple(geom.shape) == tuple(shape_hint):
+            return geom
+    raise ValueError(
+        f"checkpoint grid {shape_hint} does not match any geometry for "
+        f"{params} — was the case built with different parameters?"
     )
+
+
+def _case_shape_hint(case_dir: str):
+    """Grid shape of the case's existing checkpoints (None if fresh)."""
+    from openfoam_tpp_tpu.utils.io import latest_checkpoint, load_checkpoint
+
+    chk = latest_checkpoint(case_dir)
+    if chk is None:
+        return None
+    return tuple(load_checkpoint(chk[1])["alpha"].shape)
 
 
 def build_case_motion(params: dict, case_dir: str):
@@ -106,11 +126,13 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
             params["H"], params["D"], params["mesh"], params["geo"],
             props, controls,
         )
+    shape_hint = _case_shape_hint(case_dir) if case_dir else None
+    key = key + (shape_hint,)
     hit = _ADVANCE_CACHE.get(key)
     if hit is None:
         import dataclasses
 
-        geom = build_case_geometry(params)
+        geom = build_case_geometry(params, shape_hint)
         if jax.default_backend() == "tpu" and geom.shape[0] % 8 == 0:
             controls = dataclasses.replace(controls, use_pallas=True)
         motion = build_case_motion(params, case_dir) if case_dir else None

@@ -32,11 +32,15 @@ def generate_video(case_dir: str, fps: int = 30, fname: str = "animation.mp4") -
     import matplotlib.pyplot as plt
 
     from openfoam_tpp_tpu.manager.cases import load_case_params
-    from openfoam_tpp_tpu.manager.runner import build_case_geometry, iterate_snapshots
+    from openfoam_tpp_tpu.manager.runner import (
+        _case_shape_hint,
+        build_case_geometry,
+        iterate_snapshots,
+    )
     from openfoam_tpp_tpu.post.interface import column_masks, liquid_height
 
     params = load_case_params(case_dir)
-    geom = build_case_geometry(params)
+    geom = build_case_geometry(params, _case_shape_hint(case_dir))
     wet, z_floor, _ = column_masks(geom)
     x, y, _ = geom.cell_centers()
 
@@ -74,18 +78,37 @@ def generate_video(case_dir: str, fps: int = 30, fname: str = "animation.mp4") -
         plt.close(fig)
 
     out_path = os.path.join(out_dir, fname)
+    ok = False
     if _have("imageio"):
         import imageio
 
         try:
             imageio.mimsave(out_path, frames, fps=fps)
             print(f"  ✅ Video saved: {out_path}")
-            return True
+            ok = True
         except Exception as e:  # no ffmpeg plugin — fall back to PNGs
             print(f"  ⚠ mp4 encode failed ({e}); writing PNG frames")
-    for i, fr in enumerate(frames):
+    if not ok:
         import matplotlib.pyplot as plt
 
-        plt.imsave(os.path.join(out_dir, f"frame_{i:04d}.png"), fr)
-    print(f"  ✅ Frames saved under: {out_dir}")
+        for i, fr in enumerate(frames):
+            plt.imsave(os.path.join(out_dir, f"frame_{i:04d}.png"), fr)
+        print(f"  ✅ Frames saved under: {out_dir}")
+
+    # Reference parity: the video action chains a potential-flow dashboard
+    # animation for orbital cylinder cases (main.py:700-723).
+    if "H" in params and "R" in params:
+        try:
+            from openfoam_tpp_tpu.utils.potential_flow import (
+                generate_dashboard_animation,
+            )
+
+            dash, _ = generate_dashboard_animation(
+                os.path.join(out_dir, "dashboard.mp4"),
+                R=params["D"] / 2.0, a=params["R"], freq=params["freq"],
+                d=params["H"] / 2.0,
+            )
+            print(f"  ✅ Dashboard animation: {dash}")
+        except Exception as e:
+            print(f"  ⚠ dashboard animation failed: {e}")
     return True
