@@ -47,7 +47,9 @@ def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE):
 
         def body(carry):
             s, _, n = carry
-            s2, d = step_fn(s, params)
+            # t_stop makes the final step land EXACTLY on t_target
+            # (adjustableRunTime parity, controlDict:29-32).
+            s2, d = step_fn(s, params, t_stop=t_target)
             return (s2, d, n + 1)
 
         s, d, n = jax.lax.while_loop(
@@ -186,14 +188,30 @@ def run_case(
     duration = params["duration"]
     w = controls.write_interval
     t_now = float(np.asarray(state.t))
-    first_k = int(np.floor(t_now / w + 1e-9)) + 1
-    targets = [k * w for k in range(first_k, int(round(duration / w)) + 1)]
+    first_k = int(np.floor(t_now / w + 1e-6)) + 1
+    # Targets are computed with the same f32 arithmetic the device uses to
+    # snap landing times (k * f32(w)), so `state.t == t_target` bitwise at
+    # each write — no epsilon drift across a 20 s / 400-write run.
+    w32 = np.float32(w)
+    n_writes = int(np.floor(duration / w + 1e-9))
+    targets = [float(np.float32(k) * w32) for k in range(first_k, n_writes + 1)]
+    # A duration that is not a write multiple (swept values like 0.33) must
+    # still be reached, else is_case_done() never fires (ADVICE r1).
+    if not targets or targets[-1] < duration - 1e-9:
+        targets.append(float(np.float32(duration)))
 
     wall0 = time.time()
     steps_total = 0
     for t_target in targets:
-        state, diag, n = advance(state, case_params, jnp.float32(t_target))
-        steps_total += int(n)
+        # Re-invoke until the target is actually reached: one advance is
+        # bounded at max_steps and may fall short on fine meshes (ADVICE r1).
+        while True:
+            state, diag, n = advance(state, case_params, jnp.float32(t_target))
+            steps_total += int(n)
+            if float(np.asarray(state.t)) >= t_target or int(n) == 0:
+                break
+            log(f"  (write target {t_target:.6g} s not reached in "
+                f"{int(n)} steps; continuing)")
         if write_checkpoints:
             save_checkpoint(case_dir, state)
         p_vals = sample_cell_field(state.p, probe_pts, geom)

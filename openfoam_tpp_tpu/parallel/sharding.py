@@ -23,6 +23,19 @@ def make_mesh(n_devices: int | None = None, case_axis: int = 1,
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"make_mesh: asked for {n_devices} devices but only "
+            f"{len(devices)} available ({[str(d) for d in devices]}); "
+            "provision virtual CPU devices via "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N plus "
+            "jax.config.update('jax_platforms', 'cpu') before first use"
+        )
+    if n_devices % case_axis:
+        raise ValueError(
+            f"make_mesh: case_axis={case_axis} does not divide "
+            f"n_devices={n_devices}"
+        )
     devices = np.asarray(devices[:n_devices])
     spatial = n_devices // case_axis
     return Mesh(devices.reshape(case_axis, spatial), ("case", "x"))

@@ -72,15 +72,36 @@ class ProbeWriter:
         self.dir = os.path.join(case_dir, "postProcessing", "probes", time_dir)
         os.makedirs(self.dir, exist_ok=True)
         self.path = os.path.join(self.dir, field_name)
-        if not os.path.exists(self.path) or start_time == 0.0:
+        # Header only when the file does not exist — a re-run over already
+        # written intervals must not truncate history (ADVICE r1).
+        if not os.path.exists(self.path):
             with open(self.path, "w") as f:
                 for i, p in enumerate(self.points):
                     f.write(f"# Probe {i} ({p[0]:g} {p[1]:g} {p[2]:g})\n")
                 header = "".join(f"{i:>14d}" for i in range(len(self.points)))
                 f.write(f"#{'Probe':>13s}{header}\n")
                 f.write(f"#{'Time':>13s}\n")
+            self._last_t = -np.inf
+        else:
+            self._last_t = self._read_last_time()
+
+    def _read_last_time(self) -> float:
+        """Last recorded time in the file (so re-runs skip duplicate rows)."""
+        last = -np.inf
+        with open(self.path) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                try:
+                    last = float(line.split()[0])
+                except ValueError:
+                    pass
+        return last
 
     def append(self, t: float, values):
+        if t <= self._last_t + 1e-9:
+            return  # already recorded (resume over written interval)
+        self._last_t = t
         vals = np.asarray(values).reshape(-1)
         with open(self.path, "a") as f:
             f.write(f"{t:>14.8g}" + "".join(f"{v:>14.6g}" for v in vals) + "\n")

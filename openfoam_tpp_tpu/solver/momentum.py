@@ -3,15 +3,19 @@
 Implements the semi-discrete momentum equation of the interFoam class
 (SURVEY.md §2.3):
 
-    ∂(ρU)/∂t + ∇·(rhoPhi U) = ∇·(μ∇U) − ∇p_rgh − (G(t)·x)∇ρ + σκ∇α
+    ∂(ρU)/∂t + ∇·(rhoPhi U) = ∇·(μ∇U) − ∇p + ρ G(t) + σκ∇α
 
-with `Gauss vanLeerV`-parity van Leer reconstruction of the advected
-velocity (fvSchemes:29) and the *phase-consistent* mass flux `rhoPhi`
-from the MULES step — the standard requirement for stability at the
-water/air density ratio. The pressure and body-force terms are face-
-located (MAC faces coincide with flux points, so no Rhie–Chow machinery
-is needed); the well-balanced −(G·x)∂ρ/∂n form keeps a stratified tank
-exactly quiescent (tested in tests/test_hydrostatic.py).
+with component-wise van Leer reconstruction of the advected velocity
+(`Gauss vanLeerV` analog, fvSchemes:29) and the *phase-consistent* mass
+flux `rhoPhi` from the MULES step — the standard requirement for
+stability at the water/air density ratio. The pressure and body-force
+terms are face-located (MAC faces coincide with flux points, so no
+Rhie–Chow machinery is needed). Forcing uses the TOTAL-pressure
+formulation: the body force is the uniform acceleration dt·G added to
+face velocities, p absorbs the hydrostatic profile, and the projection
+uses the arithmetic face density β_f (see the forcing note below and
+poisson.build_poisson) — this keeps a stratified tank quiescent to f32
+machine precision (tested in tests/test_hydrostatic.py).
 
 momentumPredictor=no parity (fvSolution:80): velocity is advanced
 explicitly and corrected by one exact projection — on an orthogonal MAC
@@ -114,11 +118,12 @@ def viscous_face_field(q, qax, mu, spacing, mu_edges=None):
 # This solver instead works with the *total* pressure: the body force is
 # the uniform per-unit-mass acceleration G(t) (O(10) m/s², added directly
 # to face velocities in the timestep), and p absorbs the hydrostatic
-# profile. On the MAC grid with β_f = face-averaged 1/ρ (harmonic face
-# density — the GFM-consistent choice) the discrete hydrostatic balance
-# for z-stratified ρ is still exact: Δp = G_z h / β_f is single-valued,
-# so the projection returns machine-zero velocity (tested in
-# tests/test_hydrostatic.py) — with forces 4 orders smaller, f32-safe.
+# profile. On the MAC grid with β_f = 1/(arithmetic face-mean ρ) — the
+# choice poisson.build_poisson makes deliberately; see its comment — the
+# discrete hydrostatic balance for z-stratified ρ is still exact:
+# Δp = G_z h / β_f is single-valued, so the projection returns
+# machine-zero velocity (tested in tests/test_hydrostatic.py) — with
+# forces 4 orders smaller than the p_rgh split's face forces, f32-safe.
 
 
 def csf_force(alpha, kappa, sigma, axis, h, beta_face):

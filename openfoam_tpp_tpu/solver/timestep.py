@@ -74,7 +74,6 @@ def make_step(
     hx, hy, hz = spacing
     open_top = bool(np.any(geom.top_open > 0))
     fluid = ga["vfrac"] > 0.0
-    inv_vfrac = jnp.where(fluid, 1.0 / jnp.maximum(ga["vfrac"], 0.5), 0.0)
     masks = (ga["ax"] > 0.0, ga["ay"] > 0.0, ga["az"] > 0.0)
 
     rot_enabled = motion is not None and motion.has_rotation
@@ -114,7 +113,8 @@ def make_step(
         # Interface compression doubles the effective phase-flux speed.
         return co, co_a * (1.0 + controls.c_alpha)
 
-    def step(state: SimState, params) -> tuple[SimState, StepDiagnostics]:
+    def step(state: SimState, params,
+             t_stop=None) -> tuple[SimState, StepDiagnostics]:
         # --- adaptive dt (controlDict:45-51 adjustTimeStep semantics) ---
         co, co_a = courant_numbers(state.u, state.v, state.w, state.alpha,
                                    state.dt)
@@ -122,10 +122,32 @@ def make_step(
             controls.max_co / jnp.maximum(co / state.dt, 1e-10),
             controls.max_alpha_co / jnp.maximum(co_a / state.dt, 1e-10),
         )
-        dt = jnp.minimum(
+        dt_cfl = jnp.minimum(
             jnp.minimum(controls.dt_growth * state.dt, limit),
             controls.max_dt,
         ).astype(state.dt.dtype)
+
+        # --- adjustableRunTime (controlDict:29-32): split the time to the
+        # next write target (and t_stop, if given) into equal steps each
+        # <= dt_cfl, so the run lands EXACTLY on the k*writeInterval grid —
+        # checkpoint times are exact 0.05 multiples, matching the
+        # reference's 401 evenly spaced outputs per 20 s run. The landing
+        # time is snapped bitwise to (k+1)*w so driver loops comparing
+        # t < t_target terminate without epsilon games.
+        w = float(controls.write_interval)
+        if w > 0.0:
+            wj = jnp.asarray(w, dt_cfl.dtype)
+            k_next = jnp.floor(state.t / wj + 1e-4) + 1.0
+            t_next = k_next * wj
+        else:
+            t_next = jnp.asarray(jnp.inf, dt_cfl.dtype)
+        if t_stop is not None:
+            t_next = jnp.minimum(t_next, jnp.asarray(t_stop, dt_cfl.dtype))
+        rem = jnp.maximum(t_next - state.t, jnp.asarray(1e-12, dt_cfl.dtype))
+        finite = jnp.isfinite(rem)
+        n_split = jnp.maximum(jnp.ceil(rem / dt_cfl - 1e-4), 1.0)
+        dt = jnp.where(finite, rem / n_split, dt_cfl)
+        t_new = jnp.where(finite & (n_split <= 1.0), t_next, state.t + dt)
 
         # --- alpha advection with the divergence-free flux from step n ---
         phi = (ga["ax"] * state.u, ga["ay"] * state.v, ga["az"] * state.w)
@@ -222,9 +244,11 @@ def make_step(
             * fluid
         )
 
+        # state.dt carries the UNCLIPPED CFL dt as the growth base for the
+        # next step, so write-grid clipping never persistently shrinks dt.
         new_state = SimState(
             alpha=alpha_new, u=u_c, v=v_c, w=w_c, p=p_new,
-            t=state.t + dt, dt=dt, step=state.step + 1,
+            t=t_new, dt=dt_cfl, step=state.step + 1,
         )
         # Diagnostics reuse the start-of-step Courant numbers (the ones
         # that sized dt) — the end-of-step values are recomputed anyway at

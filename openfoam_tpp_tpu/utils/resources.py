@@ -14,8 +14,9 @@ import math
 
 # Calibrated on TPU v5e (bench.py measures the live number; these are the
 # planning constants). cell-updates/s aggregated over a full VoF step
-# (alpha subcycles + momentum + MG-CG pressure solve).
-TPU_CELL_UPDATES_PER_SEC = 2.0e8
+# (alpha subcycles + momentum + MG-CG pressure solve). Value measured by
+# BENCH_r01.json (cell_updates_per_sec = 8.83e7 at 1M cells).
+TPU_CELL_UPDATES_PER_SEC = 8.8e7
 # SimState + geometry + MG levels + transients, bytes per cell (f32).
 BYTES_PER_CELL = 4 * (5 + 4 + 12) * 2
 HBM_BYTES = 16e9  # v5e chip
