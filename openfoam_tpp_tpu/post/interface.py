@@ -124,26 +124,46 @@ def surface_mesh(alpha, geom: TankGeometry):
 
 
 def extract_interface(case_dir: str, geom: TankGeometry, snapshots,
-                      write_vtp_files: bool = True) -> str:
+                      write_vtp_files: bool = True, mode: str = "auto") -> str:
     """Reference-parity extraction over (time, alpha) snapshots.
 
     `snapshots` yields (t, alpha ndarray). Writes the three artifacts into
-    case_dir/postProcessing/interface/ with the reference's schemas."""
+    case_dir/postProcessing/interface/ with the reference's schemas.
+
+    `mode`: 'column' = fast column-height surface (exact for non-breaking
+    waves); 'mc' = true α=0.5 marching-cubes iso-surface (the reference's
+    `contour(0.5)`, /root/reference/main.py:770 — valid for overturning
+    waves); 'auto' = column heights, falling back to marching cubes per
+    snapshot whenever any fluid column is non-monotone."""
+    from openfoam_tpp_tpu.post import isosurface as iso
     from openfoam_tpp_tpu.utils.io import write_vtp
 
     out_dir = os.path.join(case_dir, "postProcessing", "interface")
     os.makedirs(out_dir, exist_ok=True)
 
     wet, z_floor, ring = column_masks(geom)
+    active_cubes = iso._cube_active_mask(geom.fluid)
     summary = ["time,max_z,min_z,mean_z,num_points"]
     wall = ["time,theta,zeta_wall"]
 
     for t, alpha in snapshots:
         alpha = jnp.asarray(alpha)
-        zmax, zmin, zmean, n = surface_stats(alpha, geom, wet, z_floor)
+        use_mc = mode == "mc" or (
+            mode == "auto"
+            and not iso.columns_monotone(alpha, geom.fluid)
+        )
+        if use_mc:
+            zmax, zmin, zmean, n = iso.surface_stats_mc(
+                alpha, geom, active_cubes
+            )
+        else:
+            zmax, zmin, zmean, n = surface_stats(alpha, geom, wet, z_floor)
         summary.append(
             f"{t},{float(zmax)},{float(zmin)},{float(zmean)},{int(n)}"
         )
+        # Wall runup profile stays column-based in both modes: the wall
+        # ring is the structured analog of the r > 0.98 R point filter and
+        # a single-valued ζ(θ) is what wall_elevation.csv's schema means.
         centers, zeta, valid = wall_elevation_bins(alpha, geom)
         zeta = np.asarray(zeta)
         valid = np.asarray(valid)
@@ -151,7 +171,11 @@ def extract_interface(case_dir: str, geom: TankGeometry, snapshots,
             if valid[b]:
                 wall.append(f"{t},{centers[b]},{zeta[b]}")
         if write_vtp_files:
-            pts, tris = surface_mesh(alpha, geom)
+            if use_mc:
+                pts, tris = iso.triangulate(np.asarray(alpha), geom,
+                                            active_cubes)
+            else:
+                pts, tris = surface_mesh(alpha, geom)
             write_vtp(
                 os.path.join(out_dir, f"interface_t{t:.6f}.vtp"), pts, tris
             )
