@@ -80,7 +80,20 @@ class SolverControls:
     p_max_iters: int = 50
     write_interval: float = 0.05  # controlDict:32 writeInterval
     use_pallas: bool = False     # fused TPU stencil kernels for the CG
-                                 # operator (ops/pallas/). Enable on real
-                                 # TPU single-device paths; requires
+                                 # operator + MG V-cycle smoothers
+                                 # (ops/pallas/). Enable on real TPU
+                                 # single-device paths; requires
                                  # nx % 8 == 0 (geometry round_to=8) —
                                  # silently falls back otherwise.
+    dev2_stress: bool = True     # explicit ∇·(μ dev2(∇U)ᵀ) transpose
+                                 # stress (fvSchemes:32 parity) — active
+                                 # only where ∇μ ≠ 0 (the interface);
+                                 # solver/momentum.py
+                                 # transpose_viscous_face_field.
+    use_momentum_kernel: bool = False  # fused momentum megakernel
+                                 # (ops/pallas/momentum3.py). Correct and
+                                 # tested, but measured ~15% SLOWER than
+                                 # XLA's fused jnp path on v5e (halo
+                                 # re-reads + masked rolls make it
+                                 # VPU-bound) — off by default; kept for
+                                 # A/B and future DMA-ring optimization.

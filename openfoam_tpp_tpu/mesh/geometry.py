@@ -181,6 +181,16 @@ def _finalize(geo, H, D, shape, spacing, origin, vfrac, ax, ay, az, open_top):
     )
 
 
+def natural_shape(H, D, mesh, geo="flat", pad_cells=1, round_to=1):
+    """The (nx, ny, nz) grid a case needs at spacing `mesh`."""
+    h = float(mesh)
+    nx = int(np.ceil(D / h)) + 2 * pad_cells
+    nx = -(-nx // round_to) * round_to
+    z_min = -D / 2.0 if geo == "cap" else 0.0
+    nz = max(int(round((H - z_min) / h)), 1)
+    return (nx, nx, nz)
+
+
 def build_tank_geometry(
     H: float,
     D: float,
@@ -189,6 +199,7 @@ def build_tank_geometry(
     pad_cells: int = 1,
     nq: int = _NQ,
     round_to: int = 1,
+    force_shape: tuple | None = None,
 ) -> TankGeometry:
     """Build the cylinder-tank geometry for a case parameter set.
 
@@ -197,20 +208,36 @@ def build_tank_geometry(
     lands exactly on z=H). `round_to` rounds nx/ny up to a multiple —
     the extra cells lie outside the cylinder (solid, zero aperture) — so
     the grid divides evenly over a device-mesh axis or a TPU tile size.
+
+    `force_shape` embeds the tank in a PRESCRIBED (nx, ny, nz) grid (must
+    be at least the natural shape): extra x/y cells pad as solid outside
+    the cylinder, and hz = (H − z_min)/nz refines vertically, so every
+    case of a geometry-batched sweep shares one padded grid with its open
+    top exactly at layer nz−1 (parallel/sweep.py batched geometry).
     """
     if geo not in ("flat", "cap"):
         raise ValueError(f"unknown geo {geo!r}")
     R = D / 2.0
     h = float(mesh)
 
-    nx = int(np.ceil(D / h)) + 2 * pad_cells
-    nx = -(-nx // round_to) * round_to
-    ny = nx
+    if force_shape is not None:
+        nat = natural_shape(H, D, mesh, geo, pad_cells)
+        nx, ny, nz = force_shape
+        if nx < nat[0] or ny < nat[1] or nz < nat[2]:
+            raise ValueError(
+                f"force_shape {force_shape} smaller than the natural grid "
+                f"{nat} for H={H}, D={D}, mesh={mesh}, geo={geo}"
+            )
+    else:
+        nx = int(np.ceil(D / h)) + 2 * pad_cells
+        nx = -(-nx // round_to) * round_to
+        ny = nx
     x0 = -nx * h / 2.0
     y0 = -ny * h / 2.0
 
     z_min = -R if geo == "cap" else 0.0
-    nz = max(int(round((H - z_min) / h)), 1)
+    if force_shape is None:
+        nz = max(int(round((H - z_min) / h)), 1)
     hz = (H - z_min) / nz
 
     shape = (nx, ny, nz)

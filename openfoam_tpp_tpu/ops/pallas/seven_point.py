@@ -46,12 +46,16 @@ def _kernel(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, diag, out):
     # x-neighbors: last plane of the previous slab / first of the next.
     # At the global ends the clamped view aliases the current slab; the
     # stray value is multiplied by the zero boundary-face weight.
+    # y/z neighbors are slice+concat edge-clamped shifts (NOT pltpu.roll:
+    # Mosaic only rotates 32-bit data, and the bf16 V-cycle levels run
+    # through this kernel too); the clamped edge values are likewise
+    # killed by the zero boundary-face weights.
     xm = jnp.concatenate([p_prev[s - 1 : s, :, :], c[: s - 1, :, :]], axis=0)
     xp = jnp.concatenate([c[1:, :, :], p_next[0:1, :, :]], axis=0)
-    ym = pltpu.roll(c, 1, 1)
-    yp = pltpu.roll(c, ny - 1, 1)   # roll by -1 (shift must be >= 0)
-    zm = pltpu.roll(c, 1, 2)
-    zp = pltpu.roll(c, nz - 1, 2)
+    ym = jnp.concatenate([c[:, :1, :], c[:, : ny - 1, :]], axis=1)
+    yp = jnp.concatenate([c[:, 1:, :], c[:, ny - 1 :, :]], axis=1)
+    zm = jnp.concatenate([c[:, :, :1], c[:, :, : nz - 1]], axis=2)
+    zp = jnp.concatenate([c[:, :, 1:], c[:, :, nz - 1 :]], axis=2)
     out[:, :, :] = diag[:, :, :] * c - (
         wxl[:, :, :] * xm + wxh[:, :, :] * xp
         + wyl[:, :, :] * ym + wyh[:, :, :] * yp
@@ -94,6 +98,24 @@ def apply_7pt(p, split, diag, interpret=False):
     )(p, p, p, *split, diag)
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
+
+
 def supported(shape, dtype=jnp.float32) -> bool:
+    """f32 and bf16 grids with nx a SLAB multiple; slab working set
+    (11 arrays × double buffering) must fit VMEM."""
     nx, ny, nz = shape
-    return nx % SLAB == 0 and dtype == jnp.float32
+    if nx % SLAB or min(ny, nz) < 8:
+        return False
+    if dtype == jnp.float32:
+        itemsize = 4
+    elif dtype == jnp.bfloat16:
+        itemsize = 2
+    else:
+        return False
+    slab_bytes = SLAB * ny * _round_up(nz, 128) * itemsize
+    return 11 * 2 * slab_bytes <= _VMEM_BUDGET
+
+
+def _round_up(n, m):
+    return -(-n // m) * m

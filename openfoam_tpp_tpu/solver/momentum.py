@@ -8,7 +8,19 @@ Implements the semi-discrete momentum equation of the interFoam class
 with component-wise van Leer reconstruction of the advected velocity
 (`Gauss vanLeerV` analog, fvSchemes:29) and the *phase-consistent* mass
 flux `rhoPhi` from the MULES step — the standard requirement for
-stability at the water/air density ratio. The pressure and body-force
+stability at the water/air density ratio.
+
+On vanLeerV vs component-wise vanLeer: OpenFOAM's V-scheme computes ONE
+limiter per face from the direction of steepest change of the colocated
+velocity vector, preventing the per-component limiters from rotating U
+across a shock on unstructured colocated meshes. On a staggered MAC grid
+that failure mode does not arise — each component is advected on its own
+control volume whose faces carry their own donor states, so there is no
+colocated vector to keep coherent; the component-wise limiter here is
+the standard (and TVD) choice for MAC schemes. The V-variant's only
+behavioral difference (slightly more diffusion near multi-dimensional
+extrema) is below the discretization differences already documented in
+VALIDATION.md. The pressure and body-force
 terms are face-located (MAC faces coincide with flux points, so no
 Rhie–Chow machinery is needed). Forcing uses the TOTAL-pressure
 formulation: the body force is the uniform acceleration dt·G added to
@@ -88,8 +100,9 @@ def viscous_face_field(q, qax, mu, spacing, mu_edges=None):
     Variable μ: cell-centered for the parallel direction, 4-point edge
     average for transverse directions (pass `mu_edges` from
     `edge_viscosities` to share them across components). The deviatoric
-    transpose term ∇·(μ(∇U)ᵀ) vanishes for constant μ by continuity and
-    is neglected (laminar sloshing, μ-gradient confined to the interface).
+    transpose term ∇·(μ dev2(∇U)ᵀ) — which vanishes for constant μ by
+    continuity — is `transpose_viscous_face_field` below (fvSchemes:32
+    parity), added separately in the timestep.
     """
     out = jnp.zeros_like(q)
     for d in range(3):
@@ -106,6 +119,43 @@ def viscous_face_field(q, qax, mu, spacing, mu_edges=None):
                 mu_edge = st.cells_to_faces_avg(st.cells_to_faces_avg(mu, qax), d)
             dq = st.gradient_at_faces(q, d, h)
             flux = mu_edge * dq
+        out = out + (flux[_sl(d, slice(1, None))] - flux[_sl(d, slice(0, -1))]) / h
+    return out
+
+
+def transpose_viscous_face_field(vels, qax, mu, spacing, mu_edges=None,
+                                 div_u=None):
+    """∇·(μ [(∇U)ᵀ − (2/3)(∇·U) I]), component `qax`, at qax-face points —
+    the explicit dev2 stress term of fvSchemes:32
+    (`div(((rho*nuEff)*dev2(T(grad(U)))))`), completing the full
+    deviatoric Newtonian stress together with `viscous_face_field`'s
+    implicit-analog μ∇U part.
+
+    Identically zero for constant μ and ∇·U = 0; physically active at the
+    interface where ∇μ ≠ 0 (μ jumps ~55× between water and air). Flux of
+    component qax along direction d is μ·∂u_d/∂x_qax: at cell centers for
+    d = qax (where μ is native), at (qax, d) edges otherwise (4-point μ
+    average, shared via `mu_edges`). The trace part −(2/3)μ∇·U enters the
+    d = qax flux only; `div_u` is the cell-centered velocity divergence
+    (≈ 0 after projection — kept for exact dev2 form parity).
+    """
+    q = vels[qax]
+    out = jnp.zeros_like(q)
+    for d in range(3):
+        h = spacing[d]
+        if d == qax:
+            dq = (q[_sl(d, slice(1, None))] - q[_sl(d, slice(0, -1))]) / h
+            if div_u is not None:
+                dq = dq - (2.0 / 3.0) * div_u
+            flux = _zero_pad_axis(mu * dq, d)
+        else:
+            if mu_edges is not None:
+                mu_edge = mu_edges[frozenset((qax, d))]
+            else:
+                mu_edge = st.cells_to_faces_avg(
+                    st.cells_to_faces_avg(mu, qax), d)
+            # ∂u_d/∂x_qax lands exactly on the (qax, d) edge points.
+            flux = mu_edge * st.gradient_at_faces(vels[d], qax, spacing[qax])
         out = out + (flux[_sl(d, slice(1, None))] - flux[_sl(d, slice(0, -1))]) / h
     return out
 

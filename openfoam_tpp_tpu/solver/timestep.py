@@ -56,29 +56,27 @@ def geometry_arrays(geom: TankGeometry, dtype=jnp.float32):
     }
 
 
-def make_step(
-    geom: TankGeometry,
+def make_step_core(
     props: PhysicalProperties = PhysicalProperties(),
     controls: SolverControls = SolverControls(),
     motion: mo.TableMotion | None = None,
-    dtype=jnp.float32,
+    open_top: bool = True,
+    face_xyz=None,
+    use_momentum_kernel: bool = False,
 ):
-    """Build the jit-able step function for a fixed geometry.
+    """Build the geometry-generic step:
+    `step(state, params, ga, spacing, t_stop) -> (state', diag)`.
 
-    `motion=None` means analytic orbital forcing driven by CaseParams
-    (the circularSloshingTank family); a TableMotion gives 6DoF.dat-driven
-    translation (sloshingTank3D6DoF family).
+    `ga` (the geometry_arrays dict) and `spacing` are ARGUMENTS, not
+    closure constants — the same compiled core serves every geometry of a
+    given shape, and vmapping over a leading/trailing batch axis of `ga`
+    yields geometry-batched (H, D, geo) sweeps (the reference's Cartesian
+    sweep engine, /root/reference/main.py:504-534). `make_step` wraps it
+    with a fixed geometry closed over (constant-folded by XLA).
     """
-    ga = geometry_arrays(geom, dtype)
-    spacing = tuple(float(s) for s in geom.spacing)
-    hx, hy, hz = spacing
-    open_top = bool(np.any(geom.top_open > 0))
-    fluid = ga["vfrac"] > 0.0
-    masks = (ga["ax"] > 0.0, ga["ay"] > 0.0, ga["az"] > 0.0)
-
     rot_enabled = motion is not None and motion.has_rotation
-    if rot_enabled:
-        face_xyz = tuple(fr.face_coordinates(geom, ax) for ax in range(3))
+    if rot_enabled and face_xyz is None:
+        raise ValueError("rotational motion requires face_xyz coordinates")
 
     def effective_g(t, params):
         """Uniform body acceleration in the tank frame.
@@ -100,8 +98,9 @@ def make_step(
             return q
         return st.cells_to_faces_avg(st.faces_to_cells_avg(q, qax), ax)
 
-    def courant_numbers(u, v, w, alpha, dt):
+    def courant_numbers(u, v, w, alpha, dt, fluid, spacing):
         """Cell Courant and interface Courant (controlDict maxCo/maxAlphaCo)."""
+        hx, hy, hz = spacing
         speed = (
             jnp.abs(st.faces_to_cells_avg(u, 0)) / hx
             + jnp.abs(st.faces_to_cells_avg(v, 1)) / hy
@@ -113,11 +112,14 @@ def make_step(
         # Interface compression doubles the effective phase-flux speed.
         return co, co_a * (1.0 + controls.c_alpha)
 
-    def step(state: SimState, params,
+    def step(state: SimState, params, ga, spacing,
              t_stop=None) -> tuple[SimState, StepDiagnostics]:
+        hx, hy, hz = spacing
+        fluid = ga["vfrac"] > 0.0
+        masks = (ga["ax"] > 0.0, ga["ay"] > 0.0, ga["az"] > 0.0)
         # --- adaptive dt (controlDict:45-51 adjustTimeStep semantics) ---
         co, co_a = courant_numbers(state.u, state.v, state.w, state.alpha,
-                                   state.dt)
+                                   state.dt, fluid, spacing)
         limit = jnp.minimum(
             controls.max_co / jnp.maximum(co / state.dt, 1e-10),
             controls.max_alpha_co / jnp.maximum(co_a / state.dt, 1e-10),
@@ -182,14 +184,35 @@ def make_step(
             kappa = mom.curvature(alpha_new, spacing)
 
         vels = (state.u, state.v, state.w)
-        mu_edges = mom.edge_viscosities(mu)
+        if use_momentum_kernel:
+            # Fused Pallas megakernel: one data pass for all three
+            # components' visc − conv (ops/pallas/momentum3.py).
+            from openfoam_tpp_tpu.ops.pallas import momentum3 as m3
+
+            rhs = m3.momentum_rhs_mac(state.u, state.v, state.w, rho_phi,
+                                      mu, spacing)
+            mu_edges = (mom.edge_viscosities(mu)
+                        if controls.dev2_stress else None)
+        else:
+            mu_edges = mom.edge_viscosities(mu)
+        # dev2 transpose stress (fvSchemes:32 parity): ∇·U from the step-n
+        # aperture-weighted fluxes (≈ 0 after the previous projection).
+        div_u = (st.divergence(*phi, spacing)
+                 if controls.dev2_stress else None)
         new_vels = []
         for ax, q in enumerate(vels):
             rof = st.cells_to_faces_avg(rho_old, ax)
             rnf = st.cells_to_faces_avg(rho_new, ax)
-            conv = mom.convect_face_field(q, ax, rho_phi, spacing)
-            visc = mom.viscous_face_field(q, ax, mu, spacing, mu_edges)
-            q_star = (rof * q + dt * (visc - conv)) / rnf
+            if use_momentum_kernel:
+                vc = rhs[ax]
+            else:
+                conv = mom.convect_face_field(q, ax, rho_phi, spacing)
+                visc = mom.viscous_face_field(q, ax, mu, spacing, mu_edges)
+                vc = visc - conv
+            if controls.dev2_stress:
+                vc = vc + mom.transpose_viscous_face_field(
+                    vels, ax, mu, spacing, mu_edges, div_u)
+            q_star = (rof * q + dt * vc) / rnf
             # Uniform effective-gravity acceleration (total-p formulation —
             # see the forcing note in solver/momentum.py) + CSF.
             q_star = q_star + dt * G[ax]
@@ -265,6 +288,43 @@ def make_step(
             alpha_max=jnp.max(alpha_new),
         )
         return new_state, diag
+
+    return step
+
+
+def make_step(
+    geom: TankGeometry,
+    props: PhysicalProperties = PhysicalProperties(),
+    controls: SolverControls = SolverControls(),
+    motion: mo.TableMotion | None = None,
+    dtype=jnp.float32,
+):
+    """Build the jit-able step function for a fixed geometry.
+
+    `motion=None` means analytic orbital forcing driven by CaseParams
+    (the circularSloshingTank family); a TableMotion gives 6DoF.dat-driven
+    translation (sloshingTank3D6DoF family). Geometry arrays are closed
+    over (XLA constant-folds them); use `make_step_core` directly for
+    geometry-batched sweeps.
+    """
+    ga = geometry_arrays(geom, dtype)
+    spacing = tuple(float(s) for s in geom.spacing)
+    open_top = bool(np.any(geom.top_open > 0))
+    rot_enabled = motion is not None and motion.has_rotation
+    face_xyz = (
+        tuple(fr.face_coordinates(geom, ax) for ax in range(3))
+        if rot_enabled else None
+    )
+    use_mk = False
+    if controls.use_momentum_kernel:
+        from openfoam_tpp_tpu.ops.pallas import momentum3 as m3
+
+        use_mk = m3.supported(tuple(geom.shape), dtype)
+    core = make_step_core(props, controls, motion=motion, open_top=open_top,
+                          face_xyz=face_xyz, use_momentum_kernel=use_mk)
+
+    def step(state: SimState, params, t_stop=None):
+        return core(state, params, ga, spacing, t_stop=t_stop)
 
     return step
 
