@@ -76,11 +76,23 @@ def action_run(case_dir: str) -> bool:
     return True
 
 
+def action_profile(case_dir: str) -> bool:
+    """XLA trace + per-step timing for a case (utils/profiling.py) — the
+    in-process profiling subsystem the reference lacks (SURVEY.md §5)."""
+    from openfoam_tpp_tpu.utils.profiling import profile_case
+
+    print(f"  ⏱  Profiling {os.path.basename(case_dir)} ...")
+    n = int(os.environ.get("OFTPP_PROFILE_STEPS", "20"))
+    profile_case(case_dir, n_steps=n)
+    return True
+
+
 ACTIONS = {
     "interface": action_interface,
     "flow": action_flow,
     "video": action_video,
     "run": action_run,
+    "profile": action_profile,
 }
 
 
@@ -329,6 +341,20 @@ def main(argv=None):
                          "running it in-process (run_case_oscar parity)")
     ap.add_argument("--partition", default="tpu", help="Slurm partition")
     args = ap.parse_args(argv)
+
+    # Dependency self-check (venv bootstrap parity, main.py:9-95): verify
+    # the runtime imports; OFTPP_BOOTSTRAP=1 enables full venv
+    # self-provisioning + re-exec (utils/bootstrap.py).
+    from openfoam_tpp_tpu.utils.bootstrap import ensure_dependencies
+
+    if not ensure_dependencies(base_dir=args.base_dir):
+        return 2
+
+    # Persistent XLA compile cache: solver compiles take minutes on the
+    # remote TPU compiler — cache across CLI invocations.
+    from openfoam_tpp_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     if args.headless:
         if args.action == "config":
