@@ -1,16 +1,23 @@
 """Benchmark: full VoF step throughput on one TPU chip at ~1M fluid cells.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "cell-updates/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The PRIMARY window is steady state (t >= BENCH_STEADY_T, default 16 s —
+past the 2 s forcing ramp and the resonant growth, where the adaptive dt
+is CFL-limited by real wave speeds and the pressure solve works hardest).
+The early-transient window (the r1 headline) is reported in `detail` for
+comparison. The steady-state warmup is advanced once and cached under
+.bench_cache/ so repeated runs skip it.
 
 Baseline: the reference's calibrated CPU cost model — 80 cpu-hours per
 (Mcell·s simulated) ≈ 3.5 cell-updates/µs/core aggregate, at its 32-core
-job cap → 1.12e8 cell-updates/s (/root/reference/main.py:205-226;
+job cap → 1.11e-4 Mcell·s/wall-s (/root/reference/main.py:205-226;
 BASELINE.md). "Cell-update" = one full solver step of one fluid cell
 (alpha MULES subcycles + momentum + MG-CG pressure solve included).
 
 Env knobs: BENCH_SMALL=1 for a CPU-sized smoke run; BENCH_STEPS,
-BENCH_MESH to override.
+BENCH_MESH, BENCH_STEADY_T, BENCH_CASES, BENCH_SWEEP=1 overrides.
 """
 
 import json
@@ -19,19 +26,51 @@ import time
 
 import numpy as np
 
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cache")
+
+
+def _time_window(multi, state, params, n_steps, chunk):
+    """Advance `n_steps` (in `chunk`-step jitted chunks), timed."""
+    import jax
+
+    t0 = float(np.asarray(state.t))
+    wall0 = time.perf_counter()
+    done = 0
+    diag = None
+    while done < n_steps:
+        state, diag = multi(state, params)
+        done += chunk
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - wall0
+    t1 = float(np.asarray(state.t))
+    return state, diag, {
+        "steps": done,
+        "wall_seconds": round(wall, 3),
+        "sim_seconds": round(t1 - t0, 6),
+        "mean_dt": round((t1 - t0) / done, 6),
+        "sim_seconds_per_wall_second": round((t1 - t0) / wall, 5),
+    }
+
 
 def bench_sweep():
     """Sweep-throughput benchmark: N (f, R) cases vmapped on one chip —
     the reference farms these as N independent Slurm jobs
     (/root/reference/main.py:599-608); here one jitted batched step
-    advances all of them (BASELINE.json "100+ cases/chip" north star)."""
-    import time
+    advances all of them (BASELINE.json "100+ cases/chip" north star).
 
+    The batch axis is TRAILING (axis=-1): TPU tiles the two minor dims to
+    (8, 128), so small per-case grids with the case axis minor vectorize
+    across lanes instead of padding nz up to 128 (the r1 sweep-throughput
+    regression)."""
     import jax
-    import jax.numpy as jnp
 
     from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
     from openfoam_tpp_tpu.mesh import build_tank_geometry
+    from openfoam_tpp_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from openfoam_tpp_tpu.parallel.sweep import (
         batch_params,
         batch_states,
@@ -41,18 +80,20 @@ def bench_sweep():
     n_cases = int(os.environ.get("BENCH_CASES", "128"))
     mesh = float(os.environ.get("BENCH_MESH", "0.002"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    axis = int(os.environ.get("BENCH_AXIS", "-1"))
     # Default-case geometry (DEFAULTS: H=0.1, D=0.02).
     geom = build_tank_geometry(H=0.1, D=0.02, mesh=mesh, geo="flat",
                                round_to=8)
     n_cells = geom.n_fluid_cells
 
-    sweep_step = make_sweep_step(geom, PhysicalProperties(), SolverControls())
+    sweep_step = make_sweep_step(geom, PhysicalProperties(), SolverControls(),
+                                 axis=axis)
     rows = [
         {"R": 0.002 + 2e-5 * i, "freq": 1.5 + 0.01 * i, "duration": 10.0}
         for i in range(n_cases)
     ]
     params = batch_params(rows)
-    states = batch_states(geom, n_cases)
+    states = batch_states(geom, n_cases, axis=axis)
 
     @jax.jit
     def advance(states, params):
@@ -69,7 +110,7 @@ def bench_sweep():
         states = advance(states, params)
     jax.block_until_ready(states)
 
-    t0 = float(np.asarray(states.t[0]))
+    t0 = float(np.asarray(states.t.ravel()[0]))
     wall0 = time.perf_counter()
     done = 0
     while done < n_steps:
@@ -77,7 +118,7 @@ def bench_sweep():
         done += 5
     jax.block_until_ready(states)
     wall = time.perf_counter() - wall0
-    t1 = float(np.asarray(states.t[0]))
+    t1 = float(np.asarray(states.t.ravel()[0]))
 
     updates = n_cells * n_cases * done / wall
     sim_rate = (t1 - t0) / wall
@@ -90,6 +131,7 @@ def bench_sweep():
             "n_cases": n_cases,
             "cells_per_case": n_cells,
             "grid": list(geom.shape),
+            "batch_axis": axis,
             "steps_timed": done,
             "wall_seconds": round(wall, 3),
             "sim_seconds_per_wall_second": round(sim_rate, 5),
@@ -101,18 +143,22 @@ def bench_sweep():
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
     from openfoam_tpp_tpu.core.state import CaseParams, init_state
     from openfoam_tpp_tpu.mesh import build_tank_geometry
     from openfoam_tpp_tpu.solver.timestep import make_multi_step, make_step
+    from openfoam_tpp_tpu.utils import io as uio
+    from openfoam_tpp_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     small = os.environ.get("BENCH_SMALL") == "1"
     # Production-case geometry (case_H0.208_D0.2_flat_R0.004_f1.88) at a
     # resolution giving ~1e6 fluid cells (BASELINE.json north star).
     mesh = float(os.environ.get("BENCH_MESH", "0.0085" if small else "0.00185"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "4" if small else "20"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "4" if small else "40"))
+    t_steady = float(os.environ.get("BENCH_STEADY_T", "2" if small else "16"))
     chunk = 2 if small else 5
 
     H, D, freq, R = 0.208, 0.2, 1.88, 0.004
@@ -124,37 +170,57 @@ def main():
     step = make_step(geom, props, controls)
     multi = jax.jit(make_multi_step(step, chunk))
     params = CaseParams.make(R=R, freq=freq, duration=20.0)
-    state = init_state(geom, dt0=1e-3)
 
-    # Warmup: compile + let the adaptive dt settle to its CFL level.
-    state, diag = multi(state, params)
+    # --- early-transient window (the r1 metric, kept for comparison) ---
+    state = init_state(geom, dt0=1e-3)
+    state, diag = multi(state, params)       # compile + settle dt
     jax.block_until_ready(state)
     for _ in range(2 if small else 4):
         state, diag = multi(state, params)
     jax.block_until_ready(state)
+    state, _, early = _time_window(multi, state, params, n_steps, chunk)
 
-    t_start = float(np.asarray(state.t))
-    wall0 = time.perf_counter()
-    done = 0
-    while done < n_steps:
+    # --- steady-state warmup (cached): advance to t >= t_steady ---
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    tag = "x".join(map(str, geom.shape))
+    cache = os.path.join(_CACHE_DIR, f"steady_{tag}_t{t_steady:g}.npz")
+    if os.path.exists(cache):
+        state = uio.to_state(uio.load_checkpoint(cache))
+    else:
+        wall0 = time.perf_counter()
+        while float(np.asarray(state.t)) < t_steady:
+            state, _ = multi(state, params)
+        jax.block_until_ready(state)
+        warm_wall = time.perf_counter() - wall0
+        np_state = state
+        uio.save_checkpoint(os.path.dirname(cache) or ".", np_state)
+        # save_checkpoint names by time; rename to the cache key.
+        t_got = float(np.asarray(np_state.t))
+        os.replace(
+            os.path.join(os.path.dirname(cache), f"chk_t{t_got:.6f}.npz"),
+            cache,
+        )
+        print(f"# steady-state warmup to t={t_got:.3f} s took "
+              f"{warm_wall:.1f} s wall", flush=True)
+
+    for _ in range(2 if small else 4):       # re-warm the timed program
         state, diag = multi(state, params)
-        done += chunk
     jax.block_until_ready(state)
-    wall = time.perf_counter() - wall0
-    t_end = float(np.asarray(state.t))
+    state, diag, steady = _time_window(multi, state, params, n_steps, chunk)
 
-    cell_updates_per_sec = n_cells * done / wall
-    sim_rate = (t_end - t_start) / wall                 # sim-seconds per wall-second
+    sim_rate = steady["sim_seconds_per_wall_second"]
     period = 1.0 / freq
-    secs_per_period = period / max(sim_rate, 1e-30)
     mcell_s_per_wall_s = (n_cells / 1e6) * sim_rate
+    cell_updates_per_sec = n_cells * steady["steps"] / max(
+        steady["wall_seconds"], 1e-9)
 
     # Baseline: the reference's calibrated cost model at its 32-core job cap
     # — 80 cpu-hours per (Mcell·s simulated) ⇒ 32/(80·3600) Mcell·s of
     # simulation progress per wall-second (/root/reference/main.py:205-226).
     baseline_mcell_s = 32.0 / (80.0 * 3600.0)
     result = {
-        "metric": "simulated Mcell*s per wall-second, 1 chip (~1M-cell VoF)",
+        "metric": ("simulated Mcell*s per wall-second, 1 chip, steady state "
+                   f"(t>{t_steady:g}s, ~1M-cell VoF)"),
         "value": round(mcell_s_per_wall_s, 5),
         "unit": "Mcell*s/wall-s",
         "vs_baseline": round(mcell_s_per_wall_s / baseline_mcell_s, 1),
@@ -162,11 +228,10 @@ def main():
             "cell_updates_per_sec": round(cell_updates_per_sec, 1),
             "fluid_cells": n_cells,
             "grid": list(geom.shape),
-            "steps_timed": done,
-            "wall_seconds": round(wall, 3),
-            "mean_dt": round((t_end - t_start) / done, 6),
-            "sim_seconds_per_wall_second": round(sim_rate, 5),
-            "wall_seconds_per_shaking_period": round(secs_per_period, 2),
+            "steady_window": steady,
+            "early_transient_window": early,
+            "wall_seconds_per_shaking_period": round(
+                period / max(sim_rate, 1e-30), 2),
             "baseline_mcell_s_per_wall_s_32core": round(baseline_mcell_s, 6),
             "device": str(jax.devices()[0]),
             "final_courant": float(np.asarray(diag.courant)),
