@@ -70,6 +70,8 @@ class PoissonProblem:
     beta_faces: tuple          # (bx, by, bz) face (1/ρ) — shared with the
                                # velocity correction and face forces
     c_top: jax.Array | None    # top Dirichlet coefficient a·β·2 (per column)
+    levels: list | None = None  # the f32 MG hierarchy (diagnostics /
+                                # external oracles; levels[0] = top grid)
 
 
 def _weights_apply(level: _Level, p):
@@ -296,6 +298,7 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
     return PoissonProblem(
         apply=apply, precond=precond, diag=top.diag, fluid=fluid,
         singular=bool(singular), beta_faces=(bx, by, bz), c_top=c_top,
+        levels=levels,
     )
 
 
