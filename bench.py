@@ -81,19 +81,37 @@ def bench_sweep():
     mesh = float(os.environ.get("BENCH_MESH", "0.002"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     axis = int(os.environ.get("BENCH_AXIS", "-1"))
-    # Default-case geometry (DEFAULTS: H=0.1, D=0.02).
+    tiled = os.environ.get("BENCH_TILED", "0") == "1"
+    # Default-case geometry (DEFAULTS: H=0.1, D=0.02). round_to=4 keeps
+    # the box tight around the cylinder (fill factor 0.55 vs 0.31 at 8 —
+    # the vmapped path needs no tile alignment; measured layouts in
+    # docs/ROADMAP.md).
+    round_to = int(os.environ.get("BENCH_ROUND", "8" if tiled else "4"))
     geom = build_tank_geometry(H=0.1, D=0.02, mesh=mesh, geo="flat",
-                               round_to=8)
+                               round_to=round_to)
     n_cells = geom.n_fluid_cells
 
-    sweep_step = make_sweep_step(geom, PhysicalProperties(), SolverControls(),
-                                 axis=axis)
     rows = [
         {"R": 0.002 + 2e-5 * i, "freq": 1.5 + 0.01 * i, "duration": 10.0}
         for i in range(n_cases)
     ]
     params = batch_params(rows)
-    states = batch_states(geom, n_cases, axis=axis)
+    if tiled:
+        # Merged-grid layout (parallel/tiled_sweep.py): one big x-tiled
+        # grid, zero-aperture junctions — full single-case efficiency.
+        from openfoam_tpp_tpu.parallel.tiled_sweep import (
+            make_tiled_sweep_step,
+            tile_state,
+        )
+
+        sweep_step = make_tiled_sweep_step(
+            geom, n_cases, PhysicalProperties(),
+            SolverControls(use_pallas=jax.default_backend() == "tpu"))
+        states = tile_state(geom, n_cases)
+    else:
+        sweep_step = make_sweep_step(geom, PhysicalProperties(),
+                                     SolverControls(), axis=axis)
+        states = batch_states(geom, n_cases, axis=axis)
 
     @jax.jit
     def advance(states, params):
@@ -122,8 +140,9 @@ def bench_sweep():
 
     updates = n_cells * n_cases * done / wall
     sim_rate = (t1 - t0) / wall
+    layout = "tiled" if tiled else "vmapped"
     result = {
-        "metric": f"sweep cell-updates/sec/chip ({n_cases} vmapped cases)",
+        "metric": f"sweep cell-updates/sec/chip ({n_cases} {layout} cases)",
         "value": round(updates, 1),
         "unit": "cell-updates/s",
         "vs_baseline": round(updates / 1.12e8, 2),
@@ -131,6 +150,7 @@ def bench_sweep():
             "n_cases": n_cases,
             "cells_per_case": n_cells,
             "grid": list(geom.shape),
+            "layout": layout,
             "batch_axis": axis,
             "steps_timed": done,
             "wall_seconds": round(wall, 3),

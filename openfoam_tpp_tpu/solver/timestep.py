@@ -63,6 +63,7 @@ def make_step_core(
     open_top: bool = True,
     face_xyz=None,
     use_momentum_kernel: bool = False,
+    forcing=None,
 ):
     """Build the geometry-generic step:
     `step(state, params, ga, spacing, t_stop) -> (state', diag)`.
@@ -77,6 +78,10 @@ def make_step_core(
     rot_enabled = motion is not None and motion.has_rotation
     if rot_enabled and face_xyz is None:
         raise ValueError("rotational motion requires face_xyz coordinates")
+    # `forcing(t, params) -> (Gx, Gy, Gz)` overrides the uniform
+    # effective-gravity computation; components may be scalars or arrays
+    # varying along x (piecewise-constant per case block — the tiled
+    # sweep layout, parallel/tiled_sweep.py).
 
     def effective_g(t, params):
         """Uniform body acceleration in the tank frame.
@@ -175,7 +180,8 @@ def make_step_core(
 
         # --- explicit conservative momentum (no pressure, no gravity) ---
         t_mid = state.t + 0.5 * dt
-        G = effective_g(t_mid, params)
+        G = forcing(t_mid, params) if forcing is not None \
+            else effective_g(t_mid, params)
         if rot_enabled:
             omega_b, domega_b = fr.angular_rates(motion, t_mid)
 
@@ -213,9 +219,15 @@ def make_step_core(
                 vc = vc + mom.transpose_viscous_face_field(
                     vels, ax, mu, spacing, mu_edges, div_u)
             q_star = (rof * q + dt * vc) / rnf
-            # Uniform effective-gravity acceleration (total-p formulation —
-            # see the forcing note in solver/momentum.py) + CSF.
-            q_star = q_star + dt * G[ax]
+            # Effective-gravity acceleration (total-p formulation — see
+            # the forcing note in solver/momentum.py) + CSF. A forcing
+            # component varying along its own axis is face-averaged
+            # (junction faces between tiled cases are zero-aperture, so
+            # the averaged value there is never used).
+            Gc = G[ax]
+            if getattr(Gc, "ndim", 0) == 3 and Gc.shape[ax] > 1:
+                Gc = st.cells_to_faces_avg(Gc, ax)
+            q_star = q_star + dt * Gc
             if rot_enabled:
                 # Centrifugal + Euler + Coriolis sources of the rotating
                 # tank frame (solver/frame.py; explicit in the old velocity).
