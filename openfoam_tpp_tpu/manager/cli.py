@@ -87,6 +87,24 @@ def action_profile(case_dir: str) -> bool:
     return True
 
 
+def action_runsweep(case_dirs: list[str]) -> bool:
+    """Run many cases as vmapped batches (manager/sweeprun.py) — the
+    in-process replacement for per-case Slurm job farming
+    (/root/reference/main.py:599-608)."""
+    from openfoam_tpp_tpu.manager.sweeprun import (
+        group_cases,
+        run_cases_batched,
+    )
+
+    for group in group_cases(case_dirs):
+        if len(group) == 1:
+            action_run(group[0])
+        else:
+            print(f"  🚀 Batched run: {len(group)} cases in one program")
+            run_cases_batched(group)
+    return True
+
+
 ACTIONS = {
     "interface": action_interface,
     "flow": action_flow,
@@ -236,13 +254,22 @@ def menu_run_cases(base_dir: str = "."):
         submit = _prompt(
             "Submit to Slurm instead of running locally? [y/N]: ", "n"
         ).lower().startswith("y")
-    for idx in naming.parse_indices(sel, len(all_cases)):
-        case_dir = os.path.join(base_dir, all_cases[idx])
-        if submit:
-            from openfoam_tpp_tpu.manager.submit import submit_case
+    picked = [os.path.join(base_dir, all_cases[idx])
+              for idx in naming.parse_indices(sel, len(all_cases))]
+    if submit:
+        from openfoam_tpp_tpu.manager.submit import submit_case
 
+        for case_dir in picked:
             submit_case(case_dir, "run")
-        else:
+        return
+    batched = len(picked) > 1 and _prompt(
+        f"Run the {len(picked)} cases as vmapped batches "
+        "(one compiled program per compatible group)? [y/N]: ", "n"
+    ).lower().startswith("y")
+    if batched:
+        action_runsweep(picked)
+    else:
+        for case_dir in picked:
             action_run(case_dir)
 
 
@@ -325,7 +352,8 @@ def main(argv=None):
                     help="non-interactive mode (reference parity)")
     ap.add_argument("--case", help="case directory name")
     ap.add_argument("--action", choices=sorted(ACTIONS) + ["build6dof",
-                                                           "config"],
+                                                           "config",
+                                                           "runsweep"],
                     help="headless action")
     ap.add_argument("--base-dir", default=".", help="cases root directory")
     ap.add_argument("--params", default="",
@@ -360,6 +388,24 @@ def main(argv=None):
         if args.action == "config":
             display_config(args.base_dir)
             return 0
+        if args.action == "runsweep":
+            # --case: comma-separated case names, or "all"/omitted for
+            # every unfinished case under --base-dir.
+            if args.case and args.case != "all":
+                names = [c.strip() for c in args.case.split(",")]
+            else:
+                names = [c for c in case_mgr.list_cases(args.base_dir)
+                         if not case_mgr.is_case_done(
+                             os.path.join(args.base_dir, c))]
+            dirs = [os.path.join(args.base_dir, c) for c in names]
+            missing = [d for d in dirs if not os.path.isdir(d)]
+            if missing:
+                print(f"❌ case(s) not found: {missing}")
+                return 1
+            if not dirs:
+                print("Nothing to run.")
+                return 0
+            return 0 if action_runsweep(dirs) else 1
         if args.action == "build6dof":
             overrides = {}
             for kv in filter(None, args.params.split(",")):

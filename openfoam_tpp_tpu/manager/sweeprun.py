@@ -1,0 +1,175 @@
+"""Batched sweep execution through the manager: run MANY built cases in
+ONE vmapped program — the user-facing TPU replacement for the
+reference's "submit every sweep case as its own Slurm job" farming
+(/root/reference/main.py:599-608), with the same on-disk contract as
+the single-case runner (per-case chk_t*.npz checkpoints on the 0.05 s
+write grid, per-case probe files, resume-from-latest).
+
+Cases are grouped into compatible batches: same model family, same mesh
+spacing (one compiled program per resolution — build_batched_geometry's
+rule), same duration, and same current progress time (fresh and resumed
+cases batch separately). Geometry (H, D, geo) may differ within a batch
+— the per-case cut-cell arrays ride as vmapped operands.
+
+All cases in a batch share one adaptive dt (the batch min), so wall
+time per batch is governed by the stiffest case — the standard batched-
+ODE compromise, bitwise-matching parallel/sweep.py's semantics.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
+from openfoam_tpp_tpu.manager.cases import load_case_params
+from openfoam_tpp_tpu.parallel.sweep import (
+    batch_params,
+    batch_states_geom,
+    build_batched_geometry,
+    make_geom_sweep_step,
+)
+from openfoam_tpp_tpu.utils.io import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+    to_state,
+)
+
+_EPS = 1e-6
+
+
+def group_cases(case_dirs: list[str]) -> list[list[str]]:
+    """Partition case dirs into vmappable batches."""
+    groups: dict = {}
+    for d in case_dirs:
+        p = load_case_params(d)
+        if p.get("model") == "tank6dof":
+            key = ("solo", d)   # table-driven motion — run individually
+        else:
+            chk = latest_checkpoint(d)
+            t_now = round(chk[0], 4) if chk else 0.0
+            key = ("batch", p["mesh"], p["duration"], p["dt"], t_now)
+        groups.setdefault(key, []).append(d)
+    return list(groups.values())
+
+
+def _unpack_case(states, i, axis):
+    """Per-case SimState view i out of a batched SimState."""
+    def take(a):
+        if a.ndim == 0 or a.shape == ():
+            return a
+        if a.ndim == 1:       # scalar leaves batched to (n,)
+            return a[i]
+        return jnp.take(a, i, axis if axis >= 0 else a.ndim - 1)
+
+    return jax.tree.map(take, states)
+
+
+def run_cases_batched(
+    case_dirs: list[str],
+    props: PhysicalProperties = PhysicalProperties(),
+    controls: SolverControls = SolverControls(),
+    log=print,
+    axis: int = -1,
+) -> dict:
+    """Run one compatible batch of orbital-tank cases to their encoded
+    duration, writing per-case checkpoints + probes at every write
+    interval. Returns aggregate stats."""
+    from openfoam_tpp_tpu.post.probes import (
+        ProbeWriter,
+        default_probe_points,
+        sample_cell_field,
+    )
+
+    rows = [load_case_params(d) for d in case_dirs]
+    durations = {r["duration"] for r in rows}
+    meshes = {r["mesh"] for r in rows}
+    if len(durations) > 1 or len(meshes) > 1:
+        raise ValueError(
+            "run_cases_batched needs one (mesh, duration) group — use "
+            f"group_cases() first (got meshes={meshes}, "
+            f"durations={durations})")
+    duration = durations.pop()
+    n = len(case_dirs)
+
+    bgeom = build_batched_geometry(rows, round_to=4, axis=axis)
+    params = batch_params(rows)
+    sweep_step = make_geom_sweep_step(bgeom, props, controls)
+
+    # Resume: all cases in a group share the same progress time.
+    chks = [latest_checkpoint(d) for d in case_dirs]
+    if all(c is not None for c in chks):
+        per_case = [to_state(load_checkpoint(c[1])) for c in chks]
+        states = jax.tree.map(
+            lambda *xs: jnp.stack(xs, 0 if xs[0].ndim == 0 else axis),
+            *per_case)
+        t_now = float(np.asarray(states.t).ravel()[0])
+        log(f"  Resuming {n} cases from t={t_now:.4f} s")
+    else:
+        states = batch_states_geom(bgeom, dt0=rows[0]["dt"])
+        t_now = 0.0
+        for i, d in enumerate(case_dirs):
+            save_checkpoint(d, _unpack_case(states, i, axis))
+
+    probes = []
+    for i, d in enumerate(case_dirs):
+        pts = default_probe_points(bgeom.geoms[i])
+        probes.append((pts, ProbeWriter(d, pts, "p", start_time=t_now)))
+
+    @jax.jit
+    def advance(states, params, t_target):
+        def cond(carry):
+            s, k = carry
+            return jnp.logical_and(
+                jnp.min(s.t) < t_target, k < 4000)
+
+        def body(carry):
+            s, k = carry
+            s2, _ = sweep_step(s, params, t_stop=t_target)
+            return (s2, k + 1)
+
+        s, k = jax.lax.while_loop(cond, body, (states, 0))
+        return s, k
+
+    w = controls.write_interval
+    w32 = np.float32(w)
+    first_k = int(np.floor(t_now / w + _EPS)) + 1
+    n_writes = int(np.floor(duration / w + 1e-9))
+    targets = [float(np.float32(k) * w32)
+               for k in range(first_k, n_writes + 1)]
+    if not targets or targets[-1] < duration - 1e-9:
+        targets.append(float(np.float32(duration)))
+
+    wall0 = time.time()
+    steps = 0
+    for t_target in targets:
+        while True:
+            states, k = advance(states, params, jnp.float32(t_target))
+            steps += int(k)
+            if float(np.asarray(states.t).ravel().min()) >= t_target \
+                    or int(k) == 0:
+                break
+        for i, d in enumerate(case_dirs):
+            s_i = _unpack_case(states, i, axis)
+            save_checkpoint(d, s_i)
+            pts, pw = probes[i]
+            vals = sample_cell_field(s_i.p, pts, bgeom.geoms[i])
+            pw.append(float(np.asarray(s_i.t)), np.asarray(vals))
+        log(f"Time = {t_target:.6g} s  ({n} cases, "
+            f"dt = {float(np.asarray(states.dt).ravel()[0]):.3e})")
+
+    wall = time.time() - wall0
+    cells = sum(g.n_fluid_cells for g in bgeom.geoms)
+    stats = {
+        "n_cases": n,
+        "steps": steps,
+        "wall_seconds": wall,
+        "agg_cell_updates_per_sec": cells * steps / max(wall, 1e-9),
+    }
+    log(f"  Batch done: {n} cases x {steps} steps in {wall:.1f} s wall "
+        f"({stats['agg_cell_updates_per_sec']:.3g} agg cell-updates/s)")
+    return stats

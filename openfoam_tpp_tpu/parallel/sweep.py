@@ -175,23 +175,35 @@ def make_geom_sweep_step(
     bgeom: BatchedGeometry,
     props: PhysicalProperties = PhysicalProperties(),
     controls: SolverControls = SolverControls(),
+    lockstep: bool = True,
 ):
     """Geometry-batched vmapped step: every case carries its own cut-cell
     arrays and spacing as batched operands; one program serves the whole
-    (f, R, H, D, geo) sweep."""
+    (f, R, H, D, geo) sweep.
+
+    `lockstep=True` (default) syncs the CFL dt across lanes with
+    lax.pmin, so all case times stay bitwise identical and land on write
+    targets together (the manager's batched runner depends on this);
+    `lockstep=False` lets each lane take its own dt within the shared
+    program (cases drift apart between write landings)."""
     # The fused stencil kernel is not exercised under vmap yet — keep the
     # batched path on the (well-fused) jnp stencils.
     controls = dataclasses.replace(controls, use_pallas=False)
-    core = make_step_core(props, controls, open_top=True)
+    axis_name = "case" if lockstep else None
+    core = make_step_core(props, controls, open_top=True,
+                          sync_axis=axis_name)
 
-    def stepper(state, params, ga, spacing):
-        return core(state, params, ga, (spacing[0], spacing[1], spacing[2]))
+    def stepper(state, params, ga, spacing, t_stop):
+        return core(state, params, ga, (spacing[0], spacing[1], spacing[2]),
+                    t_stop=t_stop)
 
     ax = bgeom.axis
-    vstep = jax.vmap(stepper, in_axes=(ax, 0, ax, 0), out_axes=(ax, 0))
+    vstep = jax.vmap(stepper, in_axes=(ax, 0, ax, 0, None),
+                     out_axes=(ax, 0), axis_name=axis_name)
 
-    def sweep_step(states: SimState, params: CaseParams):
-        return vstep(_sync_dt(states), params, bgeom.ga, bgeom.spacing)
+    def sweep_step(states: SimState, params: CaseParams, t_stop=None):
+        return vstep(_sync_dt(states), params, bgeom.ga, bgeom.spacing,
+                     t_stop)
 
     return sweep_step
 

@@ -64,6 +64,7 @@ def make_step_core(
     face_xyz=None,
     use_momentum_kernel: bool = False,
     forcing=None,
+    sync_axis: str | None = None,
 ):
     """Build the geometry-generic step:
     `step(state, params, ga, spacing, t_stop) -> (state', diag)`.
@@ -133,6 +134,11 @@ def make_step_core(
             jnp.minimum(controls.dt_growth * state.dt, limit),
             controls.max_dt,
         ).astype(state.dt.dtype)
+        if sync_axis is not None:
+            # Lockstep batched sweeps: every vmapped lane takes the batch-
+            # min CFL dt, so case times stay bitwise identical and land on
+            # the write grid together (manager/sweeprun.py).
+            dt_cfl = jax.lax.pmin(dt_cfl, sync_axis)
 
         # --- adjustableRunTime (controlDict:29-32): split the time to the
         # next write target (and t_stop, if given) into equal steps each

@@ -63,7 +63,9 @@ def test_geom_sweep_matches_per_case():
     bg = build_batched_geometry(ROWS, round_to=4)
     params = batch_params(ROWS)
     states = batch_states_geom(bg)
-    sweep_step = make_geom_sweep_step(bg, PROPS, CONTROLS)
+    # lockstep=False: each lane takes its own CFL dt, so a lane replayed
+    # solo with the recorded dt base reproduces the batch bitwise.
+    sweep_step = make_geom_sweep_step(bg, PROPS, CONTROLS, lockstep=False)
 
     @jax.jit
     def advance(s, p):
@@ -109,6 +111,38 @@ def test_geom_sweep_matches_per_case():
         err_msg="batched case diverges from the identical single-case run",
     )
     np.testing.assert_allclose(float(out.t), float(batched.t[i]), rtol=1e-6)
+
+
+def test_lockstep_times_land_on_write_grid():
+    """lockstep=True (default): all lanes share one dt (pmin), case
+    times stay identical, and t_stop lands every lane exactly."""
+    bg = build_batched_geometry(ROWS, round_to=4)
+    params = batch_params(ROWS)
+    states = batch_states_geom(bg)
+    sweep_step = make_geom_sweep_step(bg, PROPS, CONTROLS)
+
+    t_target = jnp.float32(0.01)
+
+    @jax.jit
+    def advance(s, p):
+        def body(carry):
+            s, k = carry
+            s2, _ = sweep_step(s, p, t_stop=t_target)
+            return (s2, k + 1)
+
+        def cond(carry):
+            s, k = carry
+            return jnp.logical_and(jnp.min(s.t) < t_target, k < 200)
+
+        s, _k = jax.lax.while_loop(cond, body, (s, 0))
+        return s
+
+    out = advance(states, params)
+    t = np.asarray(out.t)
+    assert np.unique(t).size == 1          # bitwise-identical lane times
+    assert t[0] == np.float32(0.01)        # exact landing
+    dt = np.asarray(out.dt)
+    assert np.unique(dt).size == 1         # shared CFL dt
 
 
 def test_trailing_axis_layout_matches():
