@@ -152,6 +152,13 @@ def run_case(
     write_checkpoints: bool = True,
 ) -> dict:
     """Run (or resume) a case to its encoded duration. Returns run stats."""
+    # FPE-trap parity (OpenFOAM's `sigFpe: Enabling floating point
+    # exception trapping`, circularSloshingTank/result.txt:17):
+    # OFTPP_DEBUG_NANS=1 makes jax raise on the first NaN produced by
+    # any solver op instead of letting it propagate silently.
+    if os.environ.get("OFTPP_DEBUG_NANS") == "1":
+        jax.config.update("jax_debug_nans", True)
+        log("  (jax_debug_nans on — sigFpe-parity NaN trapping)")
     params = load_case_params(case_dir)
     is_6dof = params.get("model") == "tank6dof"
     geom, advance = get_compiled_advance(params, props, controls, case_dir)

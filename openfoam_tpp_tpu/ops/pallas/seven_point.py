@@ -63,6 +63,30 @@ def _kernel(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, diag, out):
     )
 
 
+def _kernel_resid(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
+                  diag, b, out):
+    """out = (b − A·p) / diag — the Jacobi-scaled residual, the inner op
+    of every MG smoother iteration, in ONE fused pass (folds the apply,
+    the b subtraction, and the diagonal scaling that the jnp path runs
+    as separate HBM passes)."""
+    s = out.shape[0]
+    ny, nz = out.shape[1], out.shape[2]
+    c = p_cur[:, :, :]
+    xm = jnp.concatenate([p_prev[s - 1 : s, :, :], c[: s - 1, :, :]], axis=0)
+    xp = jnp.concatenate([c[1:, :, :], p_next[0:1, :, :]], axis=0)
+    ym = jnp.concatenate([c[:, :1, :], c[:, : ny - 1, :]], axis=1)
+    yp = jnp.concatenate([c[:, 1:, :], c[:, ny - 1 :, :]], axis=1)
+    zm = jnp.concatenate([c[:, :, :1], c[:, :, : nz - 1]], axis=2)
+    zp = jnp.concatenate([c[:, :, 1:], c[:, :, nz - 1 :]], axis=2)
+    d = diag[:, :, :]
+    ax = d * c - (
+        wxl[:, :, :] * xm + wxh[:, :, :] * xp
+        + wyl[:, :, :] * ym + wyh[:, :, :] * yp
+        + wzl[:, :, :] * zm + wzh[:, :, :] * zp
+    )
+    out[:, :, :] = (b[:, :, :] - ax) / d
+
+
 def split_weights(wx, wy, wz):
     """Face weight arrays → six cell-shaped neighbor-coefficient arrays."""
     return (
@@ -98,12 +122,38 @@ def apply_7pt(p, split, diag, interpret=False):
     )(p, p, p, *split, diag)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def resid_scaled_7pt(p, split, diag, b, interpret=False):
+    """(b − A·p)/diag via the fused kernel (smoother inner op)."""
+    nx, ny, nz = p.shape
+    assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
+    nblocks = nx // SLAB
+
+    def blk(index_map=lambda i: (i, 0, 0)):
+        return pl.BlockSpec((SLAB, ny, nz), index_map,
+                            memory_space=pltpu.VMEM)
+
+    nb = nblocks - 1
+    return pl.pallas_call(
+        _kernel_resid,
+        grid=(nblocks,),
+        in_specs=[
+            blk(lambda i: (jnp.maximum(i - 1, 0), 0, 0)),   # p_prev
+            blk(),                                           # p_cur
+            blk(lambda i: (jnp.minimum(i + 1, nb), 0, 0)),   # p_next
+        ] + [blk() for _ in range(8)],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        interpret=interpret,
+    )(p, p, p, *split, diag, b)
+
+
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
 
 
 def supported(shape, dtype=jnp.float32) -> bool:
     """f32 and bf16 grids with nx a SLAB multiple; slab working set
-    (11 arrays × double buffering) must fit VMEM."""
+    (12 arrays for the resid kernel × double buffering) must fit VMEM."""
     nx, ny, nz = shape
     if nx % SLAB or min(ny, nz) < 8:
         return False
@@ -114,7 +164,7 @@ def supported(shape, dtype=jnp.float32) -> bool:
     else:
         return False
     slab_bytes = SLAB * ny * _round_up(nz, 128) * itemsize
-    return 11 * 2 * slab_bytes <= _VMEM_BUDGET
+    return 12 * 2 * slab_bytes <= _VMEM_BUDGET
 
 
 def _round_up(n, m):

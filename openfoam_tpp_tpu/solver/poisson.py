@@ -88,10 +88,25 @@ def _weights_apply(level: _Level, p):
     return level.diag * p - nb
 
 
+def _resid_scaled(level: _Level, x, b):
+    """(b − A·x)/diag — fused single pass when the Pallas kernel serves
+    this level, else the jnp apply + elementwise chain."""
+    if level.split is not None:
+        from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+
+        return sp.resid_scaled_7pt(x, level.split, level.diag, b)
+    return (b - _weights_apply(level, x)) / level.diag
+
+
 def _jacobi(level: _Level, x, b, n):
-    inv_d = 1.0 / level.diag
+    """`x=None` means x≡0: the first sweep's stencil apply is elided
+    (A·0 = 0), saving one full operator pass — the V-cycle always enters
+    smoothing from a zero initial guess."""
+    if x is None and n > 0:
+        x = _JACOBI_OMEGA * b / level.diag
+        n -= 1
     for _ in range(n):
-        x = x + _JACOBI_OMEGA * (b - _weights_apply(level, x)) * inv_d
+        x = x + _JACOBI_OMEGA * _resid_scaled(level, x, b)
     return x
 
 
@@ -100,21 +115,21 @@ def _chebyshev(level: _Level, x, b, degree):
     targeting eigenvalues in [_CHEB_LMIN_FRAC·λmax, λmax] (hypre-style AMG
     smoothing). Same cost per degree as one Jacobi sweep, markedly better
     high-frequency damping — fewer outer CG iterations per V-cycle."""
-    inv_d = 1.0 / level.diag
     lmax = _CHEB_LMAX
     a, c = _CHEB_LMIN_FRAC * lmax, 1.02 * lmax
     theta = 0.5 * (c + a)
     delta = 0.5 * (c - a)
     sigma = theta / delta
 
-    r = b - _weights_apply(level, x)
-    p = inv_d * r / theta
-    x = x + p
+    # `x=None` means x≡0: r = b without paying the stencil apply.
+    d = (b / level.diag) if x is None else _resid_scaled(level, x, b)
+    p = d / theta
+    x = p if x is None else x + p
     rho = 1.0 / sigma
     for _ in range(degree - 1):
         rho_new = 1.0 / (2.0 * sigma - rho)
-        r = b - _weights_apply(level, x)
-        p = (rho_new * rho) * p + (2.0 * rho_new / delta) * (inv_d * r)
+        d = _resid_scaled(level, x, b)
+        p = (rho_new * rho) * p + (2.0 * rho_new / delta) * d
         x = x + p
         rho = rho_new
     return x
@@ -209,8 +224,8 @@ def _build_levels(wx, wy, wz, extra, max_levels=10, min_cells=256):
 def _vcycle(levels, li, b):
     level = levels[li]
     if li == len(levels) - 1:
-        return _jacobi(level, jnp.zeros_like(b), b, _COARSEST_SWEEPS)
-    x = _smooth(level, jnp.zeros_like(b), b, _SMOOTH_SWEEPS)
+        return _jacobi(level, None, b, _COARSEST_SWEEPS)
+    x = _smooth(level, None, b, _SMOOTH_SWEEPS)
     r = b - _weights_apply(level, x)
     rc = _restrict_cells(r)
     ec = _vcycle(levels, li + 1, rc)

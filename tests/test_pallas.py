@@ -38,3 +38,13 @@ def test_apply_7pt_matches_jnp_operator():
     )
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() / scale < 1e-5
+
+    # Fused scaled residual (the smoother inner op): (b − A p)/diag.
+    b = jax.random.normal(jax.random.PRNGKey(1), geom.shape, jnp.float32)
+    ref_r = np.asarray((b - prob.apply(p)) / prob.diag)
+    out_r = np.asarray(
+        sp.resid_scaled_7pt(p, sp.split_weights(wx, wy, wz), prob.diag, b,
+                            interpret=True)
+    )
+    scale_r = np.abs(ref_r).max()
+    assert np.abs(out_r - ref_r).max() / scale_r < 1e-5
