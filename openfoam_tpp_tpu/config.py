@@ -85,6 +85,12 @@ class SolverControls:
                                  # single-device paths; requires
                                  # nx % 8 == 0 (geometry round_to=8) —
                                  # silently falls back otherwise.
+    n_correctors: int = 1        # PIMPLE pressure correctors
+                                 # (fvSolution:81 nCorrectors 2). One MAC
+                                 # projection is already exact to solver
+                                 # tolerance (solver/momentum.py); each
+                                 # extra corrector re-solves on the
+                                 # corrected flux's residual divergence.
     dev2_stress: bool = True     # explicit ∇·(μ dev2(∇U)ᵀ) transpose
                                  # stress (fvSchemes:32 parity) — active
                                  # only where ∇μ ≠ 0 (the interface);

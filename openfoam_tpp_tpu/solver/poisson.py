@@ -39,10 +39,15 @@ import jax.numpy as jnp
 
 from openfoam_tpp_tpu.ops import stencil as st
 
+import os as _os
+
 _JACOBI_OMEGA = 0.8
 _COARSEST_SWEEPS = 24
-_SMOOTH_SWEEPS = 2
-_SMOOTHER = "chebyshev"   # 'chebyshev' (degree = _SMOOTH_SWEEPS) | 'jacobi'
+# Env-overridable for perf experiments (docs/ROADMAP.md §5a): sweeps per
+# smoothing pass and smoother family.
+_SMOOTH_SWEEPS = int(_os.environ.get("OFTPP_SMOOTH_SWEEPS", "2"))
+_SMOOTHER = _os.environ.get("OFTPP_SMOOTHER", "chebyshev")
+#   'chebyshev' (degree = _SMOOTH_SWEEPS) | 'jacobi'
 _CHEB_LMAX = 2.0          # Gershgorin bound for D^-1 A (positive weights)
 _CHEB_LMIN_FRAC = 0.25    # smooth the upper 3/4 of the spectrum
 

@@ -250,31 +250,41 @@ def make_step_core(
             new_vels.append(jnp.where(masks[ax], q_star, 0.0))
         u_s, v_s, w_s = new_vels
 
-        # --- projection ---
-        phi_star = (ga["ax"] * u_s, ga["ay"] * v_s, ga["az"] * w_s)
-        div_star = st.divergence(*phi_star, spacing)
-        b = jnp.where(fluid, -div_star / dt, 0.0)
-        p_new, p_res, p_iters = poisson.solve_pcg(
-            prob, b, state.p,
-            tol_rel=controls.p_tol_rel,
-            tol_abs=controls.p_tol_abs,
-            max_iters=controls.p_max_iters,
-        )
-
-        # --- velocity correction (exactly the operator's gradient) ---
-        u_c = u_s - dt * beta_f[0] * st.gradient_at_faces(p_new, 0, hx)
-        v_c = v_s - dt * beta_f[1] * st.gradient_at_faces(p_new, 1, hy)
-        w_c = w_s - dt * beta_f[2] * st.gradient_at_faces(p_new, 2, hz)
-        if open_top and prob.c_top is not None:
-            # Half-cell Dirichlet gradient at the atmosphere faces.
-            beta_top = jnp.where(
-                ga["top_open"] > 0, 1.0 / rho_new[:, :, -1], 0.0
+        # --- projection (PIMPLE corrector loop, fvSolution:81 nCorrectors) ---
+        # On the MAC grid one exact projection replaces the reference's
+        # lagged-H/A corrector pair (solver/momentum.py module docstring);
+        # n_correctors > 1 re-solves on the residual divergence of the
+        # corrected flux — literal nCorrectors-structure parity, driving
+        # the div error toward solver tolerance at one extra solve each.
+        u_c, v_c, w_c = u_s, v_s, w_s
+        p_new = state.p
+        for _corr in range(max(int(controls.n_correctors), 1)):
+            phi_star = (ga["ax"] * u_c, ga["ay"] * v_c, ga["az"] * w_c)
+            div_star = st.divergence(*phi_star, spacing)
+            b = jnp.where(fluid, -div_star / dt, 0.0)
+            dp, p_res, p_iters = poisson.solve_pcg(
+                prob, b, p_new if _corr == 0 else jnp.zeros_like(p_new),
+                tol_rel=controls.p_tol_rel,
+                tol_abs=controls.p_tol_abs,
+                max_iters=controls.p_max_iters,
             )
-            w_top = w_s[:, :, -1] + dt * beta_top * 2.0 * p_new[:, :, -1] / hz
-            w_c = w_c.at[:, :, -1].set(w_top)
-        u_c = jnp.where(masks[0], u_c, 0.0)
-        v_c = jnp.where(masks[1], v_c, 0.0)
-        w_c = jnp.where(masks[2], w_c, 0.0)
+            p_new = dp if _corr == 0 else p_new + dp
+
+            # --- velocity correction (exactly the operator's gradient) ---
+            u_c = u_c - dt * beta_f[0] * st.gradient_at_faces(dp, 0, hx)
+            v_c = v_c - dt * beta_f[1] * st.gradient_at_faces(dp, 1, hy)
+            w_c = w_c - dt * beta_f[2] * st.gradient_at_faces(dp, 2, hz)
+            if open_top and prob.c_top is not None:
+                # Half-cell Dirichlet gradient at the atmosphere faces.
+                beta_top = jnp.where(
+                    ga["top_open"] > 0, 1.0 / rho_new[:, :, -1], 0.0
+                )
+                w_top = (w_c[:, :, -1]
+                         + dt * beta_top * 2.0 * dp[:, :, -1] / hz)
+                w_c = w_c.at[:, :, -1].set(w_top)
+            u_c = jnp.where(masks[0], u_c, 0.0)
+            v_c = jnp.where(masks[1], v_c, 0.0)
+            w_c = jnp.where(masks[2], w_c, 0.0)
 
         div_err = jnp.max(
             jnp.abs(
