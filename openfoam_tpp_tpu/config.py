@@ -67,8 +67,6 @@ class SolverControls:
     n_alpha_subcycles: int = 3   # fvSolution:22   nAlphaSubCycles
     n_limiter_iters: int = 3     # MULES nLimiterIter default
     c_alpha: float = 1.0         # fvSchemes:30    interfaceCompression cAlpha 1
-    n_correctors: int = 1        # projection is exact on orthogonal MAC grids;
-                                 # reference nCorrectors=2 compensates lagged H/A
     p_tol_rel: float = 1e-3      # relative CG tolerance per incremental
                                  # (warm-started, diagonally-scaled) solve.
                                  # Measured at the 1M-cell flagship: the

@@ -136,17 +136,13 @@ def generate_video(case_dir: str, fps: int = 30, fname: str = "animation.mp4") -
         plt.close(fig)
 
     out_path = os.path.join(out_dir, fname)
-    ok = False
-    if _have("imageio"):
-        import imageio
+    try:
+        from openfoam_tpp_tpu.post.avi import save_video
 
-        try:
-            imageio.mimsave(out_path, frames, fps=fps)
-            print(f"  ✅ Video saved: {out_path}")
-            ok = True
-        except Exception as e:  # no ffmpeg plugin — fall back to PNGs
-            print(f"  ⚠ mp4 encode failed ({e}); writing PNG frames")
-    if not ok:
+        out_path = save_video(out_path, frames, fps=fps)
+        print(f"  ✅ Video saved: {out_path}")
+    except Exception as e:  # even Pillow missing — fall back to PNGs
+        print(f"  ⚠ video encode failed ({e}); writing PNG frames")
         import matplotlib.pyplot as plt
 
         for i, fr in enumerate(frames):

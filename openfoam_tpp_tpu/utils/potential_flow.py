@@ -147,12 +147,12 @@ def generate_wall_elevation_csv(
 
 
 def _save_frames(frames, out_path: str, fps: int):
-    """Encode frames to MP4 via imageio, falling back to PNG frames."""
+    """Encode frames: MP4 via imageio/ffmpeg when available, else MJPEG
+    AVI (post/avi.py, codec-free), else PNG frames."""
     try:
-        import imageio
+        from openfoam_tpp_tpu.post.avi import save_video
 
-        imageio.mimsave(out_path, frames, fps=fps)
-        return out_path
+        return save_video(out_path, frames, fps=fps)
     except Exception:
         base = os.path.splitext(out_path)[0]
         import matplotlib.pyplot as plt
