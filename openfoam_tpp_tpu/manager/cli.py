@@ -68,11 +68,13 @@ def action_video(case_dir: str) -> bool:
     return generate_video(case_dir)
 
 
-def action_run(case_dir: str) -> bool:
+def action_run(case_dir: str, devices: int | None = None) -> bool:
     from openfoam_tpp_tpu.manager.runner import run_case
 
-    print(f"  🚀 Running {os.path.basename(case_dir)} ...")
-    run_case(case_dir)
+    print(f"  🚀 Running {os.path.basename(case_dir)} ..."
+          + (f" ({devices}-device x-sharded)" if devices and devices > 1
+             else ""))
+    run_case(case_dir, devices=devices)
     return True
 
 
@@ -368,6 +370,11 @@ def main(argv=None):
                     help="submit the action as a Slurm job instead of "
                          "running it in-process (run_case_oscar parity)")
     ap.add_argument("--partition", default="tpu", help="Slurm partition")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="shard the run over N devices (jax.sharding mesh "
+                         "— decomposePar/mpirun/reconstructPar parity; "
+                         "provision virtual devices for testing with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     args = ap.parse_args(argv)
 
     # Dependency self-check (venv bootstrap parity, main.py:9-95): verify
@@ -428,7 +435,10 @@ def main(argv=None):
                                     partition=args.partition) else 1
         print(f"Post-processing: {args.action} on {args.case}"
               if args.action != "run" else f"Running: {args.case}")
-        ok = ACTIONS[args.action](case_dir)
+        if args.action == "run" and args.devices:
+            ok = action_run(case_dir, devices=args.devices)
+        else:
+            ok = ACTIONS[args.action](case_dir)
         return 0 if ok else 1
 
     main_menu(args.base_dir)

@@ -20,7 +20,11 @@ from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
 from openfoam_tpp_tpu.core.state import CaseParams, init_state
 from openfoam_tpp_tpu.manager.cases import load_case_params
 from openfoam_tpp_tpu.mesh import build_tank_geometry
-from openfoam_tpp_tpu.post.probes import ProbeWriter, default_probe_points, sample_cell_field
+from openfoam_tpp_tpu.post.probes import (
+    ProbeWriter,
+    default_probe_points,
+    default_wave_columns,
+)
 from openfoam_tpp_tpu.solver.timestep import StepDiagnostics, make_step
 from openfoam_tpp_tpu.utils.io import (
     latest_checkpoint,
@@ -37,33 +41,49 @@ def _zero_diag():
     return StepDiagnostics(z, z, z, jnp.asarray(0, jnp.int32), z, z, z)
 
 
-def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE):
-    """Device loop: run steps until t >= t_target (bounded by max_steps)."""
+def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE,
+                 sampler=None, sample_width: int = 0):
+    """Device loop: run steps until t >= t_target (bounded by max_steps).
+
+    `sampler(state) -> (sample_width,) row`: evaluated after EVERY solver
+    step into a fixed on-device buffer returned alongside the state —
+    per-timestep probe cadence (functionObject parity; the reference
+    samples p every solver dt, /root/reference/circularSloshingTank/
+    system/functions:17-33). Returns (state, diag, n_steps[, samples])."""
 
     def advance(state, params, t_target):
         def cond(carry):
-            s, _, n = carry
+            s = carry[0]
+            n = carry[2]
             return jnp.logical_and(s.t < t_target, n < max_steps)
 
         def body(carry):
-            s, _, n = carry
+            s, _, n = carry[:3]
             # t_stop makes the final step land EXACTLY on t_target
             # (adjustableRunTime parity, controlDict:29-32).
             s2, d = step_fn(s, params, t_stop=t_target)
-            return (s2, d, n + 1)
+            if sampler is None:
+                return (s2, d, n + 1)
+            buf = carry[3].at[n].set(sampler(s2))
+            return (s2, d, n + 1, buf)
 
-        s, d, n = jax.lax.while_loop(
-            cond, body, (state, _zero_diag(), jnp.asarray(0, jnp.int32))
-        )
-        return s, d, n
+        init = (state, _zero_diag(), jnp.asarray(0, jnp.int32))
+        if sampler is not None:
+            init = init + (jnp.zeros((max_steps, sample_width),
+                                     jnp.float32),)
+        return jax.lax.while_loop(cond, body, init)
 
     return advance
 
 
-def build_case_geometry(params: dict, shape_hint: tuple | None = None):
+def build_case_geometry(params: dict, shape_hint: tuple | None = None,
+                        devices: int | None = None):
     """Geometry for a case. `shape_hint` (from an existing checkpoint's
     alpha shape) keeps resumed/postprocessed cases consistent with the
-    grid they were started on, across round_to policy changes."""
+    grid they were started on, across round_to policy changes.
+    `devices`: the grid's x extent must divide the device-mesh axis for
+    sharded runs — rounds nx up (with solid zero-aperture padding) when
+    8-rounding alone does not."""
     if params.get("model") == "tank6dof":
         from openfoam_tpp_tpu.mesh import build_box_geometry
 
@@ -73,16 +93,25 @@ def build_case_geometry(params: dict, shape_hint: tuple | None = None):
         )
     # round_to=8: nx/ny padded (with solid, zero-aperture cells) to a
     # multiple of 8 — aligns TPU tiles and enables the Pallas kernels.
-    for r in (8, 1):
+    rounds = [8, 1]
+    if devices and devices > 1:
+        import math
+
+        rounds = [math.lcm(8, devices)] + rounds
+    for r in rounds:
         geom = build_tank_geometry(
             H=params["H"], D=params["D"], mesh=params["mesh"],
             geo=params["geo"], round_to=r,
         )
-        if shape_hint is None or tuple(geom.shape) == tuple(shape_hint):
-            return geom
+        if shape_hint is not None and tuple(geom.shape) != tuple(shape_hint):
+            continue
+        if devices and devices > 1 and geom.shape[0] % devices:
+            continue
+        return geom
     raise ValueError(
-        f"checkpoint grid {shape_hint} does not match any geometry for "
-        f"{params} — was the case built with different parameters?"
+        f"no geometry for {params} matches checkpoint grid {shape_hint}"
+        + (f" with nx divisible by {devices} devices" if devices else "")
+        + " — was the case built with different parameters?"
     )
 
 
@@ -116,8 +145,51 @@ def build_case_motion(params: dict, case_dir: str):
 _ADVANCE_CACHE: dict = {}
 
 
+def _identity(x):
+    return x
+
+
+def _sharded_wrappers(step, mesh, sampler=None, sample_width: int = 0):
+    """Advance over a device mesh: the grid's x axis is sharded (the
+    decomposePar → mpirun replacement, /root/reference/circularSloshingTank/
+    Makefile:77-82) — stencil halos lower to XLA collective-permutes, CG
+    dots to psums. State crosses the jit boundary as PackedState (uniform
+    shapes divide evenly over the mesh; parallel/packed.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from openfoam_tpp_tpu.parallel import packed as pk
+    from openfoam_tpp_tpu.parallel import sharding as sh
+
+    adv = make_advance(step, sampler=sampler, sample_width=sample_width)
+
+    def packed_adv(ps, params, t_target):
+        out = adv(pk.unpack(ps), params, t_target)
+        return (pk.pack(out[0]),) + out[1:]
+
+    st_sh = sh.state_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    n_extra = 2 if sampler is None else 3
+    jitted = jax.jit(
+        packed_adv,
+        in_shardings=(st_sh, sh.params_sharding(mesh), rep),
+        out_shardings=(st_sh,) + (None,) * n_extra,
+    )
+
+    def to_dev(state):
+        return jax.device_put(pk.pack(state), st_sh)
+
+    # unpack outside jit is O(boundary) concat on the gathered-at-write
+    # boundary planes; checkpoints are written globally (reconstructPar
+    # eliminated by design).
+    return jitted, to_dev, pk.unpack
+
+
 def get_compiled_advance(params: dict, props: PhysicalProperties,
-                         controls: SolverControls, case_dir: str | None = None):
+                         controls: SolverControls, case_dir: str | None = None,
+                         devices: int | None = None):
+    """Returns (geom, advance, to_dev, to_host). `devices > 1` shards the
+    case's x axis over a device mesh (manager `--devices N`)."""
+    n_dev = int(devices) if devices else 1
     if params.get("model") == "tank6dof":
         # Table-driven motion is baked into the compiled step — keyed by
         # the case directory (table identity).
@@ -129,17 +201,36 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
             props, controls,
         )
     shape_hint = _case_shape_hint(case_dir) if case_dir else None
-    key = key + (shape_hint,)
+    key = key + (shape_hint, n_dev)
     hit = _ADVANCE_CACHE.get(key)
     if hit is None:
         import dataclasses
 
-        geom = build_case_geometry(params, shape_hint)
-        if jax.default_backend() == "tpu" and geom.shape[0] % 8 == 0:
+        geom = build_case_geometry(params, shape_hint,
+                                   devices=n_dev if n_dev > 1 else None)
+        if (jax.default_backend() == "tpu" and geom.shape[0] % 8 == 0
+                and n_dev == 1):
+            # The fused stencil kernels are single-device programs; under
+            # GSPMD the dense jnp path (which lowers to collectives) runs.
             controls = dataclasses.replace(controls, use_pallas=True)
         motion = build_case_motion(params, case_dir) if case_dir else None
         step = make_step(geom, props, controls, motion=motion)
-        hit = (geom, jax.jit(make_advance(step)))
+        from openfoam_tpp_tpu.post.probes import make_probe_sampler
+
+        sampler, width = make_probe_sampler(
+            geom, default_probe_points(geom), default_wave_columns(geom))
+        if n_dev > 1:
+            from openfoam_tpp_tpu.parallel import sharding as sh
+
+            mesh = sh.make_mesh(n_dev, case_axis=1)
+            advance, to_dev, to_host = _sharded_wrappers(
+                step, mesh, sampler=sampler, sample_width=width)
+        else:
+            advance, to_dev, to_host = (
+                jax.jit(make_advance(step, sampler=sampler,
+                                     sample_width=width)),
+                _identity, _identity)
+        hit = (geom, advance, to_dev, to_host)
         _ADVANCE_CACHE[key] = hit
     return hit
 
@@ -150,8 +241,14 @@ def run_case(
     controls: SolverControls = SolverControls(),
     log=print,
     write_checkpoints: bool = True,
+    devices: int | None = None,
 ) -> dict:
-    """Run (or resume) a case to its encoded duration. Returns run stats."""
+    """Run (or resume) a case to its encoded duration. Returns run stats.
+
+    `devices > 1`: shard the grid's x axis over that many devices
+    (`jax.sharding` mesh — the in-process replacement for the reference's
+    decomposePar → mpirun -np N → reconstructPar pipeline). Checkpoints,
+    probes and resume work identically: state is written globally."""
     # FPE-trap parity (OpenFOAM's `sigFpe: Enabling floating point
     # exception trapping`, circularSloshingTank/result.txt:17):
     # OFTPP_DEBUG_NANS=1 makes jax raise on the first NaN produced by
@@ -161,11 +258,14 @@ def run_case(
         log("  (jax_debug_nans on — sigFpe-parity NaN trapping)")
     params = load_case_params(case_dir)
     is_6dof = params.get("model") == "tank6dof"
-    geom, advance = get_compiled_advance(params, props, controls, case_dir)
+    geom, advance, to_dev, to_host = get_compiled_advance(
+        params, props, controls, case_dir, devices=devices)
     n_cells = geom.n_fluid_cells
     log(f"  Mesh: {geom.shape[0]}x{geom.shape[1]}x{geom.shape[2]} grid, "
         f"{n_cells} fluid cells (h={params['mesh']:g} m, "
-        f"geo={params.get('geo', geom.geo)})")
+        f"geo={params.get('geo', geom.geo)})"
+        + (f", x-sharded over {devices} devices" if devices and devices > 1
+           else ""))
 
     if is_6dof:
         # Motion comes from the compiled-in table; params are inert.
@@ -188,9 +288,18 @@ def run_case(
         if write_checkpoints:
             save_checkpoint(case_dir, state)
 
+    # Per-timestep probe channels (functionObject parity — see
+    # make_probe_sampler): pressure probes + η wave gauges, accumulated on
+    # device every solver step and flushed at each write interval.
     probe_pts = default_probe_points(geom)
-    probes = ProbeWriter(case_dir, probe_pts, "p",
-                         start_time=float(np.asarray(state.t)))
+    wave_cols = default_wave_columns(geom)
+    t0_now = float(np.asarray(state.t))
+    probes = ProbeWriter(case_dir, probe_pts, "p", start_time=t0_now)
+    gauges = ProbeWriter(
+        case_dir,
+        np.column_stack([wave_cols, np.zeros(len(wave_cols))]),
+        "eta", start_time=t0_now)
+    n_pts = len(probe_pts)
 
     duration = params["duration"]
     w = controls.write_interval
@@ -209,20 +318,25 @@ def run_case(
 
     wall0 = time.time()
     steps_total = 0
+    work = to_dev(state)
     for t_target in targets:
         # Re-invoke until the target is actually reached: one advance is
         # bounded at max_steps and may fall short on fine meshes (ADVICE r1).
         while True:
-            state, diag, n = advance(state, case_params, jnp.float32(t_target))
+            work, diag, n, buf = advance(work, case_params,
+                                         jnp.float32(t_target))
             steps_total += int(n)
-            if float(np.asarray(state.t)) >= t_target or int(n) == 0:
+            if int(n):
+                rows = np.asarray(buf)[: int(n)]
+                probes.append_rows(rows[:, 0], rows[:, 1 : 1 + n_pts])
+                gauges.append_rows(rows[:, 0], rows[:, 1 + n_pts :])
+            if float(np.asarray(work.t)) >= t_target or int(n) == 0:
                 break
             log(f"  (write target {t_target:.6g} s not reached in "
                 f"{int(n)} steps; continuing)")
+        state = to_host(work)
         if write_checkpoints:
             save_checkpoint(case_dir, state)
-        p_vals = sample_cell_field(state.p, probe_pts, geom)
-        probes.append(float(np.asarray(state.t)), np.asarray(p_vals))
         log(
             f"Time = {float(np.asarray(state.t)):.6g} s  "
             f"dt = {float(np.asarray(state.dt)):.3e}  "

@@ -54,21 +54,36 @@ def interface_normals_at_faces(alpha, spacing, eps=1e-8):
     return nxf, nyf, nzf
 
 
-def _face_fluxes(alpha, phi, apertures, normals, c_alpha):
+def compression_fluxes(alpha, phi, apertures, spacing, c_alpha):
+    """Per-axis compression velocity u_c = cAlpha·|u|·n̂ (aperture-weighted
+    via A·u in phi; |u| recovered on open faces only).
+
+    Computed ONCE per advection call, not per subcycle — interFoam parity
+    (phic/nHatf are evaluated before the alpha sub-cycle loop) and ~20
+    fewer stencil passes per step."""
+    if c_alpha <= 0.0:
+        return None
+    normals = interface_normals_at_faces(alpha, spacing)
+    ucs = []
+    for ax in range(3):
+        f = phi[ax]
+        a_ap = apertures[ax]
+        u_face = f / jnp.maximum(a_ap, 1e-6)
+        ucs.append(c_alpha * jnp.abs(u_face) * normals[ax] * a_ap)
+    return tuple(ucs)
+
+
+def _face_fluxes(alpha, phi, u_cs):
     """Per-axis (low-order, antidiffusive) alpha fluxes."""
     lows, antis = [], []
     for ax in range(3):
         f = phi[ax]
-        a_ap = apertures[ax]
         # Low-order: donor-cell upwind.
         low = f * st.upwind_faces(alpha, f, ax)
         # High-order: van Leer MUSCL.
         high = f * st.vanleer_faces(alpha, f, ax)
-        if c_alpha > 0.0:
-            # Compression velocity u_c = cAlpha·|u|·n̂ (aperture-weighted
-            # via A·u in phi; recover |u| on open faces only).
-            u_face = f / jnp.maximum(a_ap, 1e-6)
-            u_c = c_alpha * jnp.abs(u_face) * normals[ax] * a_ap
+        if u_cs is not None:
+            u_c = u_cs[ax]
             ac = st.vanleer_faces(alpha, u_c, ax)
             high = high + u_c * ac * (1.0 - ac)
         lows.append(low)
@@ -155,11 +170,11 @@ def advect_alpha(
     inv_vol = jnp.where(fluid, 1.0 / jnp.maximum(vfrac, 0.5), 0.0)
 
     dt_sub = dt / n_subcycles
+    u_cs = compression_fluxes(alpha, phi, apertures, spacing, c_alpha)
 
     def subcycle(carry, _):
         a, flux_acc = carry
-        normals = interface_normals_at_faces(a, spacing)
-        lows, antis = _face_fluxes(a, phi, apertures, normals, c_alpha)
+        lows, antis = _face_fluxes(a, phi, u_cs)
         lows = list(lows)
         lows[2] = _apply_top_bc(lows[2], phi[2], a)
         antis = list(antis)

@@ -7,11 +7,11 @@ executes at ~80 GB/s effective; this kernel streams x-slabs through VMEM
 and evaluates the full stencil in one fused pass.
 
 Halo handling: `p` is passed as THREE BlockSpec views of the same array —
-the current slab plus the previous/next slabs (index maps clamped at the
-ends). Mosaic double-buffers the block fetches automatically, so the
-halo planes cost pipelined HBM reads, not synchronous DMAs; x-neighbor
-slices are concatenations along the untiled major axis, y/z neighbors
-are sublane/lane `pltpu.roll`s.
+the current slab plus ONE-PLANE views of the previous/next x-planes
+(index maps clamped at the ends), so p costs one slab + two planes of
+HBM traffic per grid step instead of three slabs. Mosaic double-buffers
+the block fetches automatically; x-neighbor slices are concatenations
+along the untiled major axis, y/z neighbors slice+concat shifts.
 
 Weight layout: the six per-face weight arrays are pre-split to CELL
 shape (`split_weights`): wxl[c] multiplies p[x−1], wxh[c] multiplies
@@ -37,20 +37,20 @@ SLAB = 8  # x-planes per grid step; nx must be a multiple
 
 
 def _kernel(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, diag, out):
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
     s = out.shape[0]
     ny, nz = out.shape[1], out.shape[2]
 
     c = p_cur[:, :, :]
-    # x-neighbors: last plane of the previous slab / first of the next.
-    # At the global ends the clamped view aliases the current slab; the
-    # stray value is multiplied by the zero boundary-face weight.
+    # x-neighbors: ONE-PLANE halo views of p (the plane below/above this
+    # slab; index maps clamped at the global ends, where the stray value
+    # is multiplied by the zero boundary-face weight). Fetching planes
+    # instead of whole neighbor slabs cuts the kernel's p traffic from
+    # 3 slabs to 1 slab + 2 planes.
     # y/z neighbors are slice+concat edge-clamped shifts (NOT pltpu.roll:
     # Mosaic only rotates 32-bit data, and the bf16 V-cycle levels run
     # through this kernel too); the clamped edge values are likewise
     # killed by the zero boundary-face weights.
-    xm = jnp.concatenate([p_prev[s - 1 : s, :, :], c[: s - 1, :, :]], axis=0)
+    xm = jnp.concatenate([p_prev[0:1, :, :], c[: s - 1, :, :]], axis=0)
     xp = jnp.concatenate([c[1:, :, :], p_next[0:1, :, :]], axis=0)
     ym = jnp.concatenate([c[:, :1, :], c[:, : ny - 1, :]], axis=1)
     yp = jnp.concatenate([c[:, 1:, :], c[:, ny - 1 :, :]], axis=1)
@@ -72,7 +72,7 @@ def _kernel_resid(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
     s = out.shape[0]
     ny, nz = out.shape[1], out.shape[2]
     c = p_cur[:, :, :]
-    xm = jnp.concatenate([p_prev[s - 1 : s, :, :], c[: s - 1, :, :]], axis=0)
+    xm = jnp.concatenate([p_prev[0:1, :, :], c[: s - 1, :, :]], axis=0)
     xp = jnp.concatenate([c[1:, :, :], p_next[0:1, :, :]], axis=0)
     ym = jnp.concatenate([c[:, :1, :], c[:, : ny - 1, :]], axis=1)
     yp = jnp.concatenate([c[:, 1:, :], c[:, ny - 1 :, :]], axis=1)
@@ -96,26 +96,39 @@ def split_weights(wx, wy, wz):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def apply_7pt(p, split, diag, interpret=False):
-    """A(p) via the fused kernel. `split` from `split_weights`."""
-    nx, ny, nz = p.shape
-    assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
-    nblocks = nx // SLAB
+def _specs(nx, ny, nz):
+    """(p_prev-plane, p_cur-slab, p_next-plane) BlockSpecs: the halo views
+    are single planes — block index = element plane index for a block of
+    x-extent 1 — so p is fetched once per slab plus two planes, not three
+    full slabs."""
 
     def blk(index_map=lambda i: (i, 0, 0)):
         return pl.BlockSpec((SLAB, ny, nz), index_map,
                             memory_space=pltpu.VMEM)
 
-    nb = nblocks - 1
+    def plane(index_map):
+        return pl.BlockSpec((1, ny, nz), index_map,
+                            memory_space=pltpu.VMEM)
+
+    last = nx - 1
+    return (
+        plane(lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0)),      # p_prev
+        blk(),                                                       # p_cur
+        plane(lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0)),  # p_next
+        blk,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def apply_7pt(p, split, diag, interpret=False):
+    """A(p) via the fused kernel. `split` from `split_weights`."""
+    nx, ny, nz = p.shape
+    assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
+    prev, cur, nxt, blk = _specs(nx, ny, nz)
     return pl.pallas_call(
         _kernel,
-        grid=(nblocks,),
-        in_specs=[
-            blk(lambda i: (jnp.maximum(i - 1, 0), 0, 0)),   # p_prev
-            blk(),                                           # p_cur
-            blk(lambda i: (jnp.minimum(i + 1, nb), 0, 0)),   # p_next
-        ] + [blk() for _ in range(7)],
+        grid=(nx // SLAB,),
+        in_specs=[prev, cur, nxt] + [blk() for _ in range(7)],
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         interpret=interpret,
@@ -127,21 +140,11 @@ def resid_scaled_7pt(p, split, diag, b, interpret=False):
     """(b − A·p)/diag via the fused kernel (smoother inner op)."""
     nx, ny, nz = p.shape
     assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
-    nblocks = nx // SLAB
-
-    def blk(index_map=lambda i: (i, 0, 0)):
-        return pl.BlockSpec((SLAB, ny, nz), index_map,
-                            memory_space=pltpu.VMEM)
-
-    nb = nblocks - 1
+    prev, cur, nxt, blk = _specs(nx, ny, nz)
     return pl.pallas_call(
         _kernel_resid,
-        grid=(nblocks,),
-        in_specs=[
-            blk(lambda i: (jnp.maximum(i - 1, 0), 0, 0)),   # p_prev
-            blk(),                                           # p_cur
-            blk(lambda i: (jnp.minimum(i + 1, nb), 0, 0)),   # p_next
-        ] + [blk() for _ in range(8)],
+        grid=(nx // SLAB,),
+        in_specs=[prev, cur, nxt] + [blk() for _ in range(8)],
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         interpret=interpret,

@@ -29,6 +29,68 @@ def default_probe_points(geom: TankGeometry) -> np.ndarray:
     ])
 
 
+def default_wave_columns(geom: TankGeometry) -> np.ndarray:
+    """(x, y) wave-gauge columns: surface elevation η is recorded at these
+    azimuths every timestep. For cylinders: r = 0.85 R at θ = 0°/90°/180°
+    (the potential-flow dashboard's wave-probe stations,
+    utils/potential_flow.py); for boxes: center + x-quarter point."""
+    if geom.geo == "box":
+        x0, y0, _ = geom.origin
+        Lx = geom.shape[0] * geom.spacing[0]
+        Ly = geom.shape[1] * geom.spacing[1]
+        cx, cy = x0 + Lx / 2.0, y0 + Ly / 2.0
+        return np.array([[cx, cy], [cx + Lx / 4.0, cy]])
+    r = 0.85 * geom.D / 2.0
+    return np.array([[r, 0.0], [0.0, r], [-r, 0.0]])
+
+
+def make_probe_sampler(geom: TankGeometry, points, columns):
+    """Device-side per-timestep sampler: returns `sampler(state) -> row`
+    with row = [t, p@points..., η@columns...]. Runs INSIDE the advance
+    while_loop (solver/timestep driver), giving per-timestep probe
+    cadence — functionObject parity with the reference's every-step
+    `probes` sampling (/root/reference/circularSloshingTank/system/
+    functions:17-33), which a per-write sample (~66x coarser at steady
+    dt) cannot match."""
+    hx, hy, hz = geom.spacing
+    x0, y0, z0 = geom.origin
+    cols = np.asarray(columns, np.float64)
+    ci = np.clip(((cols[:, 0] - x0) / hx - 0.5).round().astype(np.int32),
+                 0, geom.shape[0] - 1)
+    cj = np.clip(((cols[:, 1] - y0) / hy - 0.5).round().astype(np.int32),
+                 0, geom.shape[1] - 1)
+    # Snap gauges landing in solid/cut-away columns (coarse grids put
+    # 0.85 R inside the wall's cut cells) to the nearest fluid column on
+    # the straight path toward the tank axis.
+    vfrac = np.asarray(geom.vfrac)
+    icen = int(np.clip(round(-x0 / hx - 0.5), 0, geom.shape[0] - 1))
+    jcen = int(np.clip(round(-y0 / hy - 0.5), 0, geom.shape[1] - 1))
+    for k in range(len(cols)):
+        for _ in range(max(geom.shape[0], geom.shape[1])):
+            if vfrac[ci[k], cj[k], :].max() > 0.5:
+                break
+            ci[k] += np.sign(icen - ci[k])
+            cj[k] += np.sign(jcen - cj[k])
+    ci_j, cj_j = jnp.asarray(ci), jnp.asarray(cj)
+    # Column fluid height: η = z0 + hz·Σ_k α·vfrac / max(vfrac) — the
+    # plain α-column sum on interior columns (vfrac = 1), aperture-
+    # normalized in cut columns.
+    vcol = jnp.asarray(vfrac[ci, cj, :], jnp.float32)
+    vnorm = jnp.maximum(jnp.max(vcol, axis=-1), 1e-6)
+
+    def sampler(state):
+        p_vals = sample_cell_field(state.p, points, geom)
+        acol = state.alpha[ci_j, cj_j, :] * vcol
+        eta = z0 + hz * jnp.sum(acol, axis=-1) / vnorm
+        return jnp.concatenate([
+            jnp.reshape(state.t, (1,)).astype(jnp.float32),
+            p_vals.astype(jnp.float32),
+            eta.astype(jnp.float32),
+        ])
+
+    return sampler, 1 + len(points) + len(cols)
+
+
 def sample_cell_field(field, points, geom: TankGeometry):
     """Trilinear sample of a cell-centered field at world points (device)."""
     hx, hy, hz = geom.spacing
@@ -105,3 +167,18 @@ class ProbeWriter:
         vals = np.asarray(values).reshape(-1)
         with open(self.path, "a") as f:
             f.write(f"{t:>14.8g}" + "".join(f"{v:>14.6g}" for v in vals) + "\n")
+
+    def append_rows(self, times, rows):
+        """Bulk append (one file open) of per-timestep samples: `times`
+        (n,), `rows` (n, n_probes). Rows at or before the last recorded
+        time are skipped (resume dedup)."""
+        times = np.asarray(times).reshape(-1)
+        rows = np.asarray(rows)
+        keep = times > self._last_t + 1e-9
+        if not keep.any():
+            return
+        with open(self.path, "a") as f:
+            for t, vals in zip(times[keep], rows[keep]):
+                f.write(f"{t:>14.8g}"
+                        + "".join(f"{v:>14.6g}" for v in vals) + "\n")
+        self._last_t = float(times[keep][-1])

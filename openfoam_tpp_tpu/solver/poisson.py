@@ -67,16 +67,25 @@ class _Level:
 
 @dataclasses.dataclass
 class PoissonProblem:
-    apply: Callable            # p -> A(p)
-    precond: Callable          # r -> M⁻¹ r  (one MG V-cycle)
+    apply: Callable            # p -> A(p)  (the PHYSICAL operator)
+    precond: Callable          # r -> M⁻¹ r  (physical space; diagnostics —
+                               # the hot path uses the scaled internals)
     diag: jax.Array
     fluid: jax.Array
     singular: bool
     beta_faces: tuple          # (bx, by, bz) face (1/ρ) — shared with the
                                # velocity correction and face forces
     c_top: jax.Array | None    # top Dirichlet coefficient a·β·2 (per column)
-    levels: list | None = None  # the f32 MG hierarchy (diagnostics /
-                                # external oracles; levels[0] = top grid)
+    levels: list | None = None  # [top f32 physical level] (external oracles)
+    # Scaled-space internals (solve_pcg hot path): the diagonal scaling
+    # Â = D^-½ A D^-½ is FOLDED INTO the stencil weights at build time, so
+    # the CG loop pays zero per-iteration scaling passes (r3 perf work —
+    # previously s·A(s·p) cost 2 extra HBM passes per apply around the
+    # Pallas fusion barrier, and the preconditioner 2 more).
+    scale: jax.Array | None = None       # s = fluid / sqrt(diag)
+    inv_scale: jax.Array | None = None   # fluid · sqrt(diag)
+    apply_hat: Callable | None = None    # Â (unit diagonal on fluid)
+    precond_hat: Callable | None = None  # M̂⁻¹: bf16 V-cycle on Â's hierarchy
 
 
 def _weights_apply(level: _Level, p):
@@ -239,6 +248,33 @@ def _vcycle(levels, li, b):
     return x
 
 
+def _vcycle_hybrid(top_hat, inv_s, levels_phys, b):
+    """V-cycle on the SCALED top level with coarse correction on the
+    PHYSICAL Galerkin hierarchy.
+
+    Smoothing on Â is spectrally identical to Jacobi-scaled smoothing on
+    A, so the top level can use the scaled weights directly (no per-pass
+    diagonal scaling). But Galerkin-coarsening Â itself loses the
+    interface β-jump structure (measured: 22 → 42 CG iterations on a
+    cold flagship RHS), so the coarse-grid correction runs on A's own
+    hierarchy with the space conversion folded into the transfers:
+      r_phys = inv_s ⊙ r̂   (fuses into the restriction sum)
+      ê_corr = inv_s ⊙ P e_phys  (fuses into the prolong-add)
+    — algebraically identical to wrapping the all-physical V-cycle in
+    S…S, with zero extra HBM passes."""
+    x = _smooth(top_hat, None, b, _SMOOTH_SWEEPS)
+    r = b - _weights_apply(top_hat, x)
+    if len(levels_phys) > 1:
+        rc = _restrict_cells(inv_s * r)
+        ec = _vcycle(levels_phys, 1, rc)
+        x = x + inv_s * _prolong_cells(ec, top_hat.shape)
+    else:
+        # No coarse grid (tiny problems): extra smoothing on the residual.
+        x = x + _jacobi(top_hat, None, r, _COARSEST_SWEEPS)
+    x = _smooth(top_hat, x, b, _SMOOTH_SWEEPS)
+    return x
+
+
 _PRECOND_DTYPE = jnp.bfloat16  # V-cycle runs in bf16: it is ONLY a
 # preconditioner (any fixed SPD-ish linear operator works inside CG with
 # f32 outer recurrence + iterative-refinement restarts), and the V-cycle
@@ -248,9 +284,15 @@ _PRECOND_DTYPE = jnp.bfloat16  # V-cycle runs in bf16: it is ONLY a
 def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
     """Construct operator + MG preconditioner for the current density.
 
-    `use_pallas`: evaluate the outer CG operator with the fused Pallas
-    stencil kernel (ops/pallas/seven_point.py) when the grid shape
-    supports it — TPU single-device paths only."""
+    `use_pallas`: evaluate the stencil operators with the fused Pallas
+    kernel (ops/pallas/seven_point.py) when the grid shape supports it —
+    TPU single-device paths only.
+
+    Built once per solver step (ρ moves). Construction is kept lean:
+    only the TOP level exists in f32 (physical + scaled); the MG
+    hierarchy is coarsened directly in bf16 (it is only ever used as the
+    bf16 preconditioner — f32 coarse levels were pure construction
+    traffic)."""
     hx, hy, hz = spacing
     vfrac = geom_arrays["vfrac"]
     fluid = vfrac > 0.0
@@ -280,11 +322,14 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
         c_top = 2.0 * top_open * beta[:, :, -1]
         extra = extra.at[:, :, -1].add(c_top / (hz * hz))
 
-    levels = _build_levels(wx, wy, wz, extra)
+    shape = extra.shape
+    diag0 = (
+        wx[:-1] + wx[1:] + wy[:, :-1] + wy[:, 1:]
+        + wz[:, :, :-1] + wz[:, :, 1:] + extra
+    )
+    diag0 = jnp.where(diag0 > 0, diag0, 1.0)
 
     def _with_kernel(level: _Level) -> _Level:
-        """Attach the fused Pallas apply where the level shape supports it
-        (the V-cycle smoothers are ~60% of pressure-solve HBM traffic)."""
         if not use_pallas:
             return level
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
@@ -295,30 +340,67 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
             level, split=sp.split_weights(level.wx, level.wy, level.wz)
         )
 
-    levels = [_with_kernel(l) for l in levels]
-    top = levels[0]
+    top = _with_kernel(_Level(wx=wx, wy=wy, wz=wz, extra=extra, diag=diag0,
+                              shape=shape))
 
-    # Separate reduced-precision hierarchy for the preconditioner.
+    # --- scaled space: Â = D^-½ A D^-½ with the scaling folded into the
+    # face weights. ŵ_f = w_f·s_left·s_right is computed ONCE per face
+    # (exact symmetry); boundary faces keep weight 0 (s edge-clamps are
+    # multiplied by it). diag_hat ≡ s²·diag = 1 on fluid; solid rows are
+    # identity with zero couplings, so CG vectors stay zero there without
+    # any masking passes.
+    s = jnp.where(fluid, jax.lax.rsqrt(diag0), 0.0)
+    inv_s = jnp.where(fluid, jnp.sqrt(diag0), 0.0)
+    sl_x, sr_x = st.face_lr(s, 0)
+    sl_y, sr_y = st.face_lr(s, 1)
+    sl_z, sr_z = st.face_lr(s, 2)
+    hwx = wx * sl_x * sr_x
+    hwy = wy * sl_y * sr_y
+    hwz = wz * sl_z * sr_z
+    diag_hat = jnp.ones(shape, wx.dtype)
+    extra_hat = diag_hat - (
+        hwx[:-1] + hwx[1:] + hwy[:, :-1] + hwy[:, 1:]
+        + hwz[:, :, :-1] + hwz[:, :, 1:]
+    )
+    top_hat = _with_kernel(_Level(wx=hwx, wy=hwy, wz=hwz, extra=extra_hat,
+                                  diag=diag_hat, shape=shape))
+
+    # bf16 preconditioner: scaled TOP level (smoothing needs no diagonal
+    # scaling passes) + PHYSICAL Galerkin coarse hierarchy (keeps the
+    # interface β-jump structure the coarse correction relies on — see
+    # _vcycle_hybrid), all coarsened directly in bf16 (f32 coarse levels
+    # were pure construction traffic; bf16 rounding is below the
+    # preconditioner's own approximation error).
     lp = _PRECOND_DTYPE
-    levels_lp = [
-        _with_kernel(
-            _Level(wx=l.wx.astype(lp), wy=l.wy.astype(lp),
-                   wz=l.wz.astype(lp), extra=l.extra.astype(lp),
-                   diag=l.diag.astype(lp), shape=l.shape)
-        )
-        for l in levels
-    ]
+    top_hat16 = _with_kernel(
+        _Level(wx=hwx.astype(lp), wy=hwy.astype(lp), wz=hwz.astype(lp),
+               extra=extra_hat.astype(lp),
+               diag=jnp.ones(shape, lp), shape=shape))
+    levels_phys16 = _build_levels(wx.astype(lp), wy.astype(lp),
+                                  wz.astype(lp), extra.astype(lp))
+    levels_phys16 = [_with_kernel(l) for l in levels_phys16]
+    inv_s16 = inv_s.astype(lp)
 
     def apply(p):
         return _weights_apply(top, p)
 
+    def apply_hat(p):
+        return _weights_apply(top_hat, p)
+
+    def precond_hat(r):
+        return _vcycle_hybrid(top_hat16, inv_s16, levels_phys16,
+                              r.astype(lp)).astype(r.dtype)
+
     def precond(r):
-        return _vcycle(levels_lp, 0, r.astype(lp)).astype(r.dtype)
+        # Physical-space M⁻¹ ≈ A⁻¹ = S Â⁻¹ S (API/diagnostic use).
+        return s * precond_hat(s * r)
 
     return PoissonProblem(
-        apply=apply, precond=precond, diag=top.diag, fluid=fluid,
+        apply=apply, precond=precond, diag=diag0, fluid=fluid,
         singular=bool(singular), beta_faces=(bx, by, bz), c_top=c_top,
-        levels=levels,
+        levels=[top],
+        scale=s, inv_scale=inv_s, apply_hat=apply_hat,
+        precond_hat=precond_hat,
     )
 
 
@@ -338,20 +420,27 @@ _F32_CG_FLOOR = 3e-5  # relative depth one f32 CG sweep can reliably reach
 def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv):
     """Plain preconditioned CG from a zero initial guess (recurrence
     residual untouched — refreshing it mid-flight destroys conjugacy).
-    Operates entirely in the diagonally-scaled space (see solve_pcg)."""
+    Operates entirely in the diagonally-scaled space (see solve_pcg).
+
+    ‖r‖² is carried through the loop (computed in the same fusion as the
+    r update) so the convergence check costs no extra HBM pass. Âp needs
+    no fluid mask: the scaled operator has zero fluid↔solid couplings
+    and all CG vectors are identically zero on solid cells."""
     r = b
     z = precond_h(r)
     x = jnp.zeros_like(b)
     p = z
     rz = _dot(r, z)
+    rr = _dot(r, r)
+    tol2 = tol * tol
 
     def cond(carry):
-        x, r, p, rz, k = carry
-        return jnp.logical_and(k < max_iters, jnp.sqrt(_dot(r, r)) > tol)
+        x, r, p, rz, rr, k = carry
+        return jnp.logical_and(k < max_iters, rr > tol2)
 
     def body(carry):
-        x, r, p, rz, k = carry
-        ap = jnp.where(fluid, apply_h(p), 0.0)
+        x, r, p, rz, rr, k = carry
+        ap = apply_h(p)
         denom = _dot(p, ap)
         alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
         x = x + alpha * p
@@ -362,10 +451,10 @@ def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv):
         rz_new = _dot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
         p = z + beta * p
-        return (x, r, p, rz_new, k + 1)
+        return (x, r, p, rz_new, _dot(r, r), k + 1)
 
-    x, r, p, rz, iters = jax.lax.while_loop(
-        cond, body, (x, r, p, rz, jnp.asarray(0, jnp.int32))
+    x, r, p, rz, rr, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, rr, jnp.asarray(0, jnp.int32))
     )
     return x, iters
 
@@ -393,42 +482,66 @@ def solve_pcg(
     the scaled space — the same normalization class OpenFOAM applies to
     its reported residuals.
 
-    Each refinement pass restarts CG on the freshly evaluated true
-    residual (mixed-precision-style defeat of the f32 recurrence floor).
-    Returns (x, scaled-residual norm, total iterations). All reductions
-    are jnp.sum — psum over the device mesh under sharded jit.
+    The scaling is FOLDED INTO the operator at build time
+    (problem.apply_hat / precond_hat — see build_poisson): the CG loop
+    runs Â and the bf16 V-cycle directly, paying only two elementwise
+    passes per *solve* (b̂ = s·b at entry, x = s·x̂ at exit) instead of
+    four per *iteration*.
+
+    Refinement passes restart CG on the freshly evaluated true residual
+    (mixed-precision-style defeat of the f32 recurrence floor); at
+    production tolerances the floor never binds and refinement
+    statically collapses to one pass. Returns (x, scaled-residual norm,
+    total iterations). All reductions are jnp.sum — psum over the device
+    mesh under sharded jit.
     """
     fluid = problem.fluid
-    if precond is None:
-        precond = problem.precond
+    s = problem.scale
+    inv_s = problem.inv_scale
+    apply_h = problem.apply_hat
 
-    s = jnp.where(fluid, 1.0 / jnp.sqrt(problem.diag), 0.0)
-    inv_s = jnp.where(fluid, jnp.sqrt(problem.diag), 0.0)
+    if precond is not None:
+        # Custom physical-space preconditioner (API compat): wrap into the
+        # scaled space.
+        def precond_h(r):
+            return inv_s * jnp.where(fluid, precond(inv_s * r), 0.0)
+    else:
+        # The built-in V-cycle already lives in the scaled space. The
+        # fluid mask keeps prolongation bleed out of solid cells (which
+        # would otherwise re-enter Â as identity rows and pollute the
+        # residual norm).
+        ph = problem.precond_hat
 
-    def apply_h(p):
-        return s * problem.apply(s * p)
-
-    def precond_h(r):
-        return inv_s * jnp.where(fluid, precond(inv_s * r), 0.0)
+        def precond_h(r):
+            return jnp.where(fluid, ph(r), 0.0)
 
     # Nullspace of Â for closed tanks: A·1 = 0  ⇒  Â·(D^½ 1) = 0.
     nullv = inv_s if problem.singular else None
     nullvv = _dot(inv_s, inv_s) if problem.singular else None
 
-    bh = s * jnp.where(fluid, b, 0.0)
+    bh = s * b              # s is 0 on solid — the mask is the scaling
     if problem.singular:
         bh = _project_out(bh, nullv, fluid, nullvv)
 
-    xh = jnp.where(fluid, inv_s * x0, 0.0)
+    xh = inv_s * x0         # likewise masked by inv_s
 
     def true_residual(xh):
-        r = jnp.where(fluid, bh - apply_h(xh), 0.0)
+        r = bh - apply_h(xh)   # zero on solid by the scaled-op invariant
         if problem.singular:
             r = _project_out(r, nullv, fluid, nullvv)
         return r
 
     r = true_residual(xh)
     tol = jnp.maximum(tol_rel * jnp.sqrt(_dot(r, r)), tol_abs)
+
+    # Iterative refinement exists only to defeat the f32 recurrence floor
+    # (~_F32_CG_FLOOR relative). At production tolerances the floor never
+    # binds and one pass reaches tol exactly — the extra restarts would
+    # each pay a V-cycle + true-residual for zero iterations. Static
+    # decision when tol_rel is a Python float at trace time (it is on
+    # every solver-step path); traced tolerances keep full refinement.
+    if isinstance(tol_rel, float) and tol_rel >= 10.0 * _F32_CG_FLOOR:
+        n_refine = 1
 
     total = jnp.asarray(0, jnp.int32)
     for _ in range(n_refine):

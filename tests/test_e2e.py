@@ -55,10 +55,21 @@ def test_run_case_end_to_end(tmp_path):
     pdir = os.path.join(case_dir, "postProcessing", "potential_flow")
     assert os.path.exists(os.path.join(pdir, "potential_flow_wall.csv"))
 
-    # Probe file in OpenFOAM text layout.
+    # Probe file in OpenFOAM text layout, sampled every solver TIMESTEP
+    # (functionObject parity: row count ≈ step count, not write count —
+    # /root/reference/circularSloshingTank/system/functions:17-33).
     probe = os.path.join(case_dir, "postProcessing", "probes", "0", "p")
     lines = open(probe).read().splitlines()
     assert lines[0].startswith("# Probe 0")
+    data_rows = [l for l in lines if not l.startswith("#") and l.strip()]
+    assert len(data_rows) == stats["steps"], (len(data_rows), stats["steps"])
+    # η wave gauges: same cadence, physical start height ≈ fill level H/2.
+    eta_f = os.path.join(case_dir, "postProcessing", "probes", "0", "eta")
+    eta_rows = [l.split() for l in open(eta_f).read().splitlines()
+                if not l.startswith("#") and l.strip()]
+    assert len(eta_rows) == stats["steps"]
+    eta0 = [float(v) for v in eta_rows[0][1:]]
+    assert all(abs(e - params["H"] / 2.0) < 0.01 for e in eta0), eta0
 
 
 def test_standing_wave_dispersion():
