@@ -120,7 +120,12 @@ def _face_fraction(inside, axis, coords, spacing, shape, nq=_NQ):
     else:
         x = x0 + (i + o1) * hx
         y = y0 + (j + o2) * hy
-        z = z0 + k * hz
+        # The TOP face plane must sample at z = H exactly, but
+        # z0 + nz·hz can land 1 ulp above H (e.g. cap grids where
+        # hz = (H + R)/nz is non-dyadic), which flips the `z <= H`
+        # inside-predicate and silently closes the atmosphere patch.
+        # Nudge the last face a negligible 1e-9·hz inward.
+        z = z0 + np.minimum(k, fshape[2] - 1 - 1e-9) * hz
     frac = inside(x, y, z).mean(axis=(3, 4))
     return frac.astype(np.float64)
 
