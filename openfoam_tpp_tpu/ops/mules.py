@@ -103,12 +103,31 @@ def _div(fluxes, spacing):
 
 
 def _fct_limiter(alpha_n, alpha_low, antis, dt, spacing, inv_vol, fluid,
-                 n_iters):
+                 n_iters, use_pallas=False):
     """Iterative Zalesak limiter: returns per-face multipliers λ in [0,1]."""
     hx, hy, hz = spacing
 
     amax = jnp.minimum(1.0, _neighbor_max(jnp.maximum(alpha_n, alpha_low)))
     amin = jnp.maximum(0.0, _neighbor_min(jnp.minimum(alpha_n, alpha_low)))
+
+    if use_pallas:
+        # Fused single-pass limiter iteration (ops/pallas/mules_fct.py):
+        # face arrays cross into the kernel's cell (lower-face) layout —
+        # the dropped global upper-boundary faces are identically zero.
+        from openfoam_tpp_tpu.ops.pallas import mules_fct as mf
+
+        dt_iv = dt * inv_vol
+        lams = tuple(jnp.zeros_like(alpha_low) for _ in range(3))
+        cell_antis = (antis[0][:-1], antis[1][:, :-1], antis[2][:, :, :-1])
+        for _ in range(n_iters):
+            lams = mf.fct_iter(lams, cell_antis, alpha_low, amax, amin,
+                               dt_iv, spacing)
+        zx = jnp.zeros_like(lams[0][:1])
+        zy = jnp.zeros_like(lams[1][:, :1])
+        zz = jnp.zeros_like(lams[2][:, :, :1])
+        return (jnp.concatenate([lams[0], zx], 0),
+                jnp.concatenate([lams[1], zy], 1),
+                jnp.concatenate([lams[2], zz], 2))
 
     lam = [jnp.zeros_like(a) for a in antis]
 
@@ -158,6 +177,7 @@ def advect_alpha(
     c_alpha=1.0,
     n_subcycles=3,
     n_limiter_iters=3,
+    use_pallas=False,
 ):
     """Advance alpha over `dt` with `n_subcycles` FCT sub-steps.
 
@@ -171,6 +191,10 @@ def advect_alpha(
 
     dt_sub = dt / n_subcycles
     u_cs = compression_fluxes(alpha, phi, apertures, spacing, c_alpha)
+    if use_pallas:
+        from openfoam_tpp_tpu.ops.pallas import mules_fct as mf
+
+        use_pallas = mf.supported(alpha.shape, alpha.dtype)
 
     def subcycle(carry, _):
         a, flux_acc = carry
@@ -182,7 +206,7 @@ def advect_alpha(
 
         a_low = a - dt_sub * inv_vol * _div(lows, spacing)
         lam = _fct_limiter(a, a_low, antis, dt_sub, spacing, inv_vol, fluid,
-                           n_limiter_iters)
+                           n_limiter_iters, use_pallas=use_pallas)
         limited = tuple(lams * ant for lams, ant in zip(lam, antis))
         a_new = a_low - dt_sub * inv_vol * _div(limited, spacing)
         a_new = jnp.where(fluid, jnp.clip(a_new, 0.0, 1.0), 0.0)

@@ -170,6 +170,7 @@ def make_step_core(
             c_alpha=controls.c_alpha,
             n_subcycles=controls.n_alpha_subcycles,
             n_limiter_iters=controls.n_limiter_iters,
+            use_pallas=controls.use_pallas,
         )
 
         rho_old = mixture_density(state.alpha, props)

@@ -1,0 +1,112 @@
+"""Fused FCT-limiter kernel vs the jnp reference limiter — exact parity.
+
+The kernel (ops/pallas/mules_fct.py) must reproduce ops/mules.py
+`_fct_limiter` bitwise-equivalently (same arithmetic, same eps): any
+drift would silently change alpha boundedness/conservation.
+Runs in interpret mode (CPU host)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openfoam_tpp_tpu.config import PhysicalProperties
+from openfoam_tpp_tpu.core.state import init_state
+from openfoam_tpp_tpu.mesh import build_tank_geometry
+from openfoam_tpp_tpu.ops import mules
+from openfoam_tpp_tpu.ops import stencil as st
+from openfoam_tpp_tpu.ops.pallas import mules_fct as mf
+from openfoam_tpp_tpu.solver.timestep import geometry_arrays
+
+
+def _setup():
+    geom = build_tank_geometry(0.05, 0.03, 0.002, geo="flat", round_to=8)
+    ga = geometry_arrays(geom)
+    spacing = tuple(float(s) for s in geom.spacing)
+    state = init_state(geom)
+    key = jax.random.PRNGKey(3)
+    ku, kv, kw = jax.random.split(key, 3)
+    u = 0.1 * jax.random.normal(ku, ga["ax"].shape)
+    v = 0.1 * jax.random.normal(kv, ga["ay"].shape)
+    w = 0.1 * jax.random.normal(kw, ga["az"].shape)
+    phi = (ga["ax"] * u, ga["ay"] * v, ga["az"] * w)
+    return geom, ga, spacing, state.alpha, phi
+
+
+def test_fct_iter_matches_jnp_limiter():
+    geom, ga, spacing, alpha, phi = _setup()
+    vfrac = ga["vfrac"]
+    fluid = vfrac > 0.0
+    inv_vol = jnp.where(fluid, 1.0 / jnp.maximum(vfrac, 0.5), 0.0)
+    dt = jnp.asarray(2e-4, jnp.float32)
+    apertures = (ga["ax"], ga["ay"], ga["az"])
+
+    u_cs = mules.compression_fluxes(alpha, phi, apertures, spacing, 1.0)
+    lows, antis = mules._face_fluxes(alpha, phi, u_cs)
+    lows = list(lows)
+    lows[2] = mules._apply_top_bc(lows[2], phi[2], alpha)
+    antis = list(antis)
+    antis[2] = antis[2].at[:, :, -1].set(0.0)
+    a_low = alpha - dt * inv_vol * mules._div(lows, spacing)
+
+    for n_iters in (1, 3):
+        ref = mules._fct_limiter(alpha, a_low, antis, dt, spacing, inv_vol,
+                                 fluid, n_iters)
+
+        amax = jnp.minimum(
+            1.0, mules._neighbor_max(jnp.maximum(alpha, a_low)))
+        amin = jnp.maximum(
+            0.0, mules._neighbor_min(jnp.minimum(alpha, a_low)))
+        dt_iv = dt * inv_vol
+        lams = tuple(jnp.zeros_like(a_low) for _ in range(3))
+        cell_antis = (antis[0][:-1], antis[1][:, :-1], antis[2][:, :, :-1])
+        for _ in range(n_iters):
+            lams = mf.fct_iter(lams, cell_antis, a_low, amax, amin, dt_iv,
+                               spacing, interpret=True)
+
+        for ax, (lam_k, lam_r) in enumerate(zip(lams, ref)):
+            r = np.asarray(lam_r)
+            k = np.asarray(lam_k)
+            # Compare on the stored (lower) faces; kernel's implicit
+            # upper-boundary faces correspond to zero-antis faces.
+            r_cell = [r[:-1], r[:, :-1], r[:, :, :-1]][ax]
+            # λ only matters where the antidiffusive flux is nonzero.
+            mask = np.abs(np.asarray(
+                [antis[0][:-1], antis[1][:, :-1],
+                 antis[2][:, :, :-1]][ax])) > 1e-12
+            diff = np.abs(k - r_cell)[mask]
+            assert diff.size == 0 or diff.max() < 1e-5, (
+                ax, n_iters, float(diff.max()))
+
+
+def test_advect_alpha_pallas_path_matches():
+    """Full advect_alpha with the kernel limiter vs the jnp limiter:
+    identical alpha update and mass flux within f32 tolerance."""
+    geom, ga, spacing, alpha, phi = _setup()
+    props = PhysicalProperties()
+
+    a_ref, rp_ref, _ = mules.advect_alpha(
+        alpha, phi, ga, spacing, 2e-4, props.rho1, props.rho2)
+    # interpret-mode pallas path
+    import unittest.mock as mock
+
+    orig = mf.fct_iter
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(mf, "fct_iter", interp), \
+            mock.patch.object(mf, "supported", lambda *a, **k: True):
+        a_pal, rp_pal, _ = mules.advect_alpha(
+            alpha, phi, ga, spacing, 2e-4, props.rho1, props.rho2,
+            use_pallas=True)
+
+    assert np.abs(np.asarray(a_pal) - np.asarray(a_ref)).max() < 1e-5
+    for ax in range(3):
+        d = np.abs(np.asarray(rp_pal[ax]) - np.asarray(rp_ref[ax])).max()
+        assert d < 1e-2, (ax, d)  # rho-weighted flux: rho1 ~ 1000
+    # Boundedness preserved.
+    fluid = np.asarray(ga["vfrac"]) > 0
+    ap = np.asarray(a_pal)
+    assert ap[fluid].min() >= 0.0 and ap[fluid].max() <= 1.0 + 1e-6
