@@ -186,9 +186,28 @@ def csf_force(alpha, kappa, sigma, axis, h, beta_face):
     return sigma * kf * da * beta_face
 
 
-def curvature(alpha, spacing, eps=1e-8):
+def smooth_alpha(alpha, n=2):
+    """Laplacian-style 7-point smoothing of the VoF field for CURVATURE
+    ESTIMATION ONLY (alpha itself is never smoothed — mass is untouched).
+
+    A 1-cell-sharp interface carries O(1/h) staircase noise in the
+    discrete curvature; smoothing the κ input is the standard CSF remedy
+    (Brackbill's original formulation convolves the color function).
+    Measured: without it, capillary waves of sub-cell amplitude see a
+    noise-dominated force and the dispersion test fails; with n=2 the
+    capillary branch of ω²=(gk+σk³/ρ)tanh(kd) is reproduced."""
+    for _ in range(n):
+        sm = alpha
+        for ax in range(3):
+            sm = sm + st.shift_down(alpha, ax) + st.shift_up(alpha, ax)
+        alpha = sm / 7.0
+    return alpha
+
+
+def curvature(alpha, spacing, eps=1e-8, n_smooth=2):
     """κ = −∇·n̂ from smoothed VoF gradients (cell-centered)."""
     hx, hy, hz = spacing
+    alpha = smooth_alpha(alpha, n_smooth)
     gx = st.faces_to_cells_avg(st.gradient_at_faces(alpha, 0, hx), 0)
     gy = st.faces_to_cells_avg(st.gradient_at_faces(alpha, 1, hy), 1)
     gz = st.faces_to_cells_avg(st.gradient_at_faces(alpha, 2, hz), 2)
