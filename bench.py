@@ -31,25 +31,31 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _time_window(multi, state, params, n_steps, chunk):
-    """Advance `n_steps` (in `chunk`-step jitted chunks), timed."""
+    """Advance `n_steps` (in `chunk`-step jitted chunks), timed.
+    Collects per-step pressure-iteration counts for the histogram."""
     import jax
 
     t0 = float(np.asarray(state.t))
     wall0 = time.perf_counter()
     done = 0
     diag = None
+    iters_chunks = []
     while done < n_steps:
-        state, diag = multi(state, params)
+        state, diag, p_iters = multi(state, params)
+        iters_chunks.append(p_iters)
         done += chunk
     jax.block_until_ready(state)
     wall = time.perf_counter() - wall0
     t1 = float(np.asarray(state.t))
+    it = np.concatenate([np.asarray(c) for c in iters_chunks])
+    vals, counts = np.unique(it, return_counts=True)
     return state, diag, {
         "steps": done,
         "wall_seconds": round(wall, 3),
         "sim_seconds": round(t1 - t0, 6),
         "mean_dt": round((t1 - t0) / done, 6),
         "sim_seconds_per_wall_second": round((t1 - t0) / wall, 5),
+        "p_iters_hist": {int(v): int(c) for v, c in zip(vals, counts)},
     }
 
 
@@ -167,7 +173,7 @@ def main():
     from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
     from openfoam_tpp_tpu.core.state import CaseParams, init_state
     from openfoam_tpp_tpu.mesh import build_tank_geometry
-    from openfoam_tpp_tpu.solver.timestep import make_multi_step, make_step
+    from openfoam_tpp_tpu.solver.timestep import make_step
     from openfoam_tpp_tpu.utils import io as uio
     from openfoam_tpp_tpu.utils.jax_cache import enable_persistent_cache
 
@@ -177,7 +183,10 @@ def main():
     # Production-case geometry (case_H0.208_D0.2_flat_R0.004_f1.88) at a
     # resolution giving ~1e6 fluid cells (BASELINE.json north star).
     mesh = float(os.environ.get("BENCH_MESH", "0.0085" if small else "0.00185"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "4" if small else "40"))
+    # Steady window >= 200 steps (~2 s wall): long enough that run-to-run
+    # wobble and per-step p_iters variation average out (VERDICT r2 #5).
+    n_steps = int(os.environ.get("BENCH_STEPS", "4" if small else "200"))
+    n_early = min(n_steps, 40)
     t_steady = float(os.environ.get("BENCH_STEADY_T", "2" if small else "16"))
     chunk = 2 if small else 5
 
@@ -188,17 +197,27 @@ def main():
     props = PhysicalProperties()
     controls = SolverControls(use_pallas=jax.default_backend() == "tpu")
     step = make_step(geom, props, controls)
-    multi = jax.jit(make_multi_step(step, chunk))
     params = CaseParams.make(R=R, freq=freq, duration=20.0)
+
+    def multi_fn(state, params):
+        def body(s, _):
+            s2, d = step(s, params)
+            return s2, d
+
+        final, diags = jax.lax.scan(body, state, None, length=chunk)
+        last = jax.tree.map(lambda a: a[-1], diags)
+        return final, last, diags.p_iters
+
+    multi = jax.jit(multi_fn)
 
     # --- early-transient window (the r1 metric, kept for comparison) ---
     state = init_state(geom, dt0=1e-3)
-    state, diag = multi(state, params)       # compile + settle dt
+    state, diag, _ = multi(state, params)    # compile + settle dt
     jax.block_until_ready(state)
     for _ in range(2 if small else 4):
-        state, diag = multi(state, params)
+        state, diag, _ = multi(state, params)
     jax.block_until_ready(state)
-    state, _, early = _time_window(multi, state, params, n_steps, chunk)
+    state, _, early = _time_window(multi, state, params, n_early, chunk)
 
     # --- steady-state warmup (cached): advance to t >= t_steady ---
     os.makedirs(_CACHE_DIR, exist_ok=True)
@@ -209,7 +228,7 @@ def main():
     else:
         wall0 = time.perf_counter()
         while float(np.asarray(state.t)) < t_steady:
-            state, _ = multi(state, params)
+            state, _, _ = multi(state, params)
         jax.block_until_ready(state)
         warm_wall = time.perf_counter() - wall0
         np_state = state
@@ -224,7 +243,7 @@ def main():
               f"{warm_wall:.1f} s wall", flush=True)
 
     for _ in range(2 if small else 4):       # re-warm the timed program
-        state, diag = multi(state, params)
+        state, diag, _ = multi(state, params)
     jax.block_until_ready(state)
     state, diag, steady = _time_window(multi, state, params, n_steps, chunk)
 
