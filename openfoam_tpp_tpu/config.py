@@ -94,10 +94,3 @@ class SolverControls:
                                  # only where ∇μ ≠ 0 (the interface);
                                  # solver/momentum.py
                                  # transpose_viscous_face_field.
-    use_momentum_kernel: bool = False  # fused momentum megakernel
-                                 # (ops/pallas/momentum3.py). Correct and
-                                 # tested, but measured ~15% SLOWER than
-                                 # XLA's fused jnp path on v5e (halo
-                                 # re-reads + masked rolls make it
-                                 # VPU-bound) — off by default; kept for
-                                 # A/B and future DMA-ring optimization.

@@ -36,31 +36,63 @@ from jax.experimental.pallas import tpu as pltpu
 SLAB = 8  # x-planes per grid step; nx must be a multiple
 
 
-def _kernel(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, diag, out):
-    s = out.shape[0]
-    ny, nz = out.shape[1], out.shape[2]
+def _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, s, ny, nz):
+    """Σ_f w_f·p_neighbor for the current slab.
 
+    x-neighbors: ONE-PLANE halo views of p (the plane below/above this
+    slab; index maps clamped at the global ends, where the stray value
+    is multiplied by the zero boundary-face weight). Fetching planes
+    instead of whole neighbor slabs cuts the kernel's p traffic from
+    3 slabs to 1 slab + 2 planes.
+    y/z neighbors are slice+concat edge-clamped shifts (NOT pltpu.roll:
+    Mosaic only rotates 32-bit data, and the bf16 V-cycle levels run
+    through this kernel too); the clamped edge values are likewise
+    killed by the zero boundary-face weights."""
     c = p_cur[:, :, :]
-    # x-neighbors: ONE-PLANE halo views of p (the plane below/above this
-    # slab; index maps clamped at the global ends, where the stray value
-    # is multiplied by the zero boundary-face weight). Fetching planes
-    # instead of whole neighbor slabs cuts the kernel's p traffic from
-    # 3 slabs to 1 slab + 2 planes.
-    # y/z neighbors are slice+concat edge-clamped shifts (NOT pltpu.roll:
-    # Mosaic only rotates 32-bit data, and the bf16 V-cycle levels run
-    # through this kernel too); the clamped edge values are likewise
-    # killed by the zero boundary-face weights.
     xm = jnp.concatenate([p_prev[0:1, :, :], c[: s - 1, :, :]], axis=0)
     xp = jnp.concatenate([c[1:, :, :], p_next[0:1, :, :]], axis=0)
     ym = jnp.concatenate([c[:, :1, :], c[:, : ny - 1, :]], axis=1)
     yp = jnp.concatenate([c[:, 1:, :], c[:, ny - 1 :, :]], axis=1)
     zm = jnp.concatenate([c[:, :, :1], c[:, :, : nz - 1]], axis=2)
     zp = jnp.concatenate([c[:, :, 1:], c[:, :, nz - 1 :]], axis=2)
-    out[:, :, :] = diag[:, :, :] * c - (
+    return (
         wxl[:, :, :] * xm + wxh[:, :, :] * xp
         + wyl[:, :, :] * ym + wyh[:, :, :] * yp
         + wzl[:, :, :] * zm + wzh[:, :, :] * zp
     )
+
+
+def _kernel(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, diag, out):
+    s, ny, nz = out.shape
+    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
+                 s, ny, nz)
+    out[:, :, :] = diag[:, :, :] * p_cur[:, :, :] - nb
+
+
+def _kernel_unit(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, out):
+    """Unit-diagonal apply (the diagonally-scaled operator Â): skips the
+    HBM read of an all-ones diag array — out = p − Σ w·p_nb."""
+    s, ny, nz = out.shape
+    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
+                 s, ny, nz)
+    out[:, :, :] = p_cur[:, :, :] - nb
+
+
+def _kernel_apply_dot_unit(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh,
+                           wzl, wzh, out, partial):
+    """Unit-diagonal apply PLUS the CG curvature dot: writes A·p and the
+    per-slab partial Σ p·(A·p) to SMEM, eliminating the separate
+    dot(p, ap) HBM pass (reads p and ap again) that follows every CG
+    apply across the Pallas fusion barrier."""
+    s, ny, nz = out.shape
+    c = p_cur[:, :, :]
+    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
+                 s, ny, nz)
+    ap = c - nb
+    out[:, :, :] = ap
+    # The partials vector lives whole in SMEM across the grid (constant
+    # index map); each x-slab writes its own slot.
+    partial[pl.program_id(0)] = jnp.sum(c * ap, dtype=jnp.float32)
 
 
 def _kernel_resid(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
@@ -69,22 +101,21 @@ def _kernel_resid(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
     of every MG smoother iteration, in ONE fused pass (folds the apply,
     the b subtraction, and the diagonal scaling that the jnp path runs
     as separate HBM passes)."""
-    s = out.shape[0]
-    ny, nz = out.shape[1], out.shape[2]
-    c = p_cur[:, :, :]
-    xm = jnp.concatenate([p_prev[0:1, :, :], c[: s - 1, :, :]], axis=0)
-    xp = jnp.concatenate([c[1:, :, :], p_next[0:1, :, :]], axis=0)
-    ym = jnp.concatenate([c[:, :1, :], c[:, : ny - 1, :]], axis=1)
-    yp = jnp.concatenate([c[:, 1:, :], c[:, ny - 1 :, :]], axis=1)
-    zm = jnp.concatenate([c[:, :, :1], c[:, :, : nz - 1]], axis=2)
-    zp = jnp.concatenate([c[:, :, 1:], c[:, :, nz - 1 :]], axis=2)
+    s, ny, nz = out.shape
     d = diag[:, :, :]
-    ax = d * c - (
-        wxl[:, :, :] * xm + wxh[:, :, :] * xp
-        + wyl[:, :, :] * ym + wyh[:, :, :] * yp
-        + wzl[:, :, :] * zm + wzh[:, :, :] * zp
-    )
+    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
+                 s, ny, nz)
+    ax = d * p_cur[:, :, :] - nb
     out[:, :, :] = (b[:, :, :] - ax) / d
+
+
+def _kernel_resid_unit(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
+                       b, out):
+    """Unit-diagonal residual: out = b − Â·p, no diag read, no divide."""
+    s, ny, nz = out.shape
+    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
+                 s, ny, nz)
+    out[:, :, :] = b[:, :, :] - (p_cur[:, :, :] - nb)
 
 
 def split_weights(wx, wy, wz):
@@ -120,11 +151,22 @@ def _specs(nx, ny, nz):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def apply_7pt(p, split, diag, interpret=False):
-    """A(p) via the fused kernel. `split` from `split_weights`."""
+def apply_7pt(p, split, diag=None, interpret=False):
+    """A(p) via the fused kernel. `split` from `split_weights`.
+    `diag=None` = unit diagonal (the scaled operator Â) — one fewer HBM
+    array streamed per apply."""
     nx, ny, nz = p.shape
     assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
     prev, cur, nxt, blk = _specs(nx, ny, nz)
+    if diag is None:
+        return pl.pallas_call(
+            _kernel_unit,
+            grid=(nx // SLAB,),
+            in_specs=[prev, cur, nxt] + [blk() for _ in range(6)],
+            out_specs=blk(),
+            out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+            interpret=interpret,
+        )(p, p, p, *split)
     return pl.pallas_call(
         _kernel,
         grid=(nx // SLAB,),
@@ -137,10 +179,20 @@ def apply_7pt(p, split, diag, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def resid_scaled_7pt(p, split, diag, b, interpret=False):
-    """(b − A·p)/diag via the fused kernel (smoother inner op)."""
+    """(b − A·p)/diag via the fused kernel (smoother inner op).
+    `diag=None` = unit diagonal: b − Â·p with no diag read or divide."""
     nx, ny, nz = p.shape
     assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
     prev, cur, nxt, blk = _specs(nx, ny, nz)
+    if diag is None:
+        return pl.pallas_call(
+            _kernel_resid_unit,
+            grid=(nx // SLAB,),
+            in_specs=[prev, cur, nxt] + [blk() for _ in range(7)],
+            out_specs=blk(),
+            out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+            interpret=interpret,
+        )(p, p, p, *split, b)
     return pl.pallas_call(
         _kernel_resid,
         grid=(nx // SLAB,),
@@ -149,6 +201,32 @@ def resid_scaled_7pt(p, split, diag, b, interpret=False):
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         interpret=interpret,
     )(p, p, p, *split, diag, b)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def apply_dot_7pt(p, split, interpret=False):
+    """(Â·p, p·Â·p) in one pass — the CG curvature step. The partial dot
+    per x-slab lands in SMEM; the final Σ over ~nx/SLAB scalars is free.
+    Unit-diagonal (scaled space) only — that is the only place CG runs."""
+    nx, ny, nz = p.shape
+    assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
+    prev, cur, nxt, blk = _specs(nx, ny, nz)
+    nblk = nx // SLAB
+    ap, partials = pl.pallas_call(
+        _kernel_apply_dot_unit,
+        grid=(nblk,),
+        in_specs=[prev, cur, nxt] + [blk() for _ in range(6)],
+        out_specs=(
+            blk(),
+            pl.BlockSpec((nblk,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(p.shape, p.dtype),
+            jax.ShapeDtypeStruct((nblk,), jnp.float32),
+        ),
+        interpret=interpret,
+    )(p, p, p, *split)
+    return ap, jnp.sum(partials)
 
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM

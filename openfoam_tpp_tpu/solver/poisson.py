@@ -63,6 +63,10 @@ class _Level:
     split: tuple | None = None  # pre-split cell-shaped neighbor weights —
                                 # set when the fused Pallas kernel serves
                                 # this level's apply (TPU only)
+    unit_diag: bool = False     # diag ≡ 1 by construction (the scaled
+                                # operator Â): skip the diag HBM read in
+                                # every apply/residual and the b/diag
+                                # divides in the smoother entries
 
 
 @dataclasses.dataclass
@@ -86,19 +90,25 @@ class PoissonProblem:
     inv_scale: jax.Array | None = None   # fluid · sqrt(diag)
     apply_hat: Callable | None = None    # Â (unit diagonal on fluid)
     precond_hat: Callable | None = None  # M̂⁻¹: bf16 V-cycle on Â's hierarchy
+    apply_dot_hat: Callable | None = None  # p → (Â·p, p·Â·p) in one fused
+                                           # kernel pass (CG curvature step;
+                                           # TPU kernel path only)
 
 
 def _weights_apply(level: _Level, p):
     if level.split is not None:
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        return sp.apply_7pt(p, level.split, level.diag)
+        return sp.apply_7pt(p, level.split,
+                            None if level.unit_diag else level.diag)
     wx, wy, wz = level.wx, level.wy, level.wz
     nb = (
         wx[:-1] * st.shift_down(p, 0) + wx[1:] * st.shift_up(p, 0)
         + wy[:, :-1] * st.shift_down(p, 1) + wy[:, 1:] * st.shift_up(p, 1)
         + wz[:, :, :-1] * st.shift_down(p, 2) + wz[:, :, 1:] * st.shift_up(p, 2)
     )
+    if level.unit_diag:
+        return p - nb
     return level.diag * p - nb
 
 
@@ -108,7 +118,10 @@ def _resid_scaled(level: _Level, x, b):
     if level.split is not None:
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        return sp.resid_scaled_7pt(x, level.split, level.diag, b)
+        return sp.resid_scaled_7pt(x, level.split,
+                                   None if level.unit_diag else level.diag, b)
+    if level.unit_diag:
+        return b - _weights_apply(level, x)
     return (b - _weights_apply(level, x)) / level.diag
 
 
@@ -117,7 +130,7 @@ def _jacobi(level: _Level, x, b, n):
     (A·0 = 0), saving one full operator pass — the V-cycle always enters
     smoothing from a zero initial guess."""
     if x is None and n > 0:
-        x = _JACOBI_OMEGA * b / level.diag
+        x = _JACOBI_OMEGA * b if level.unit_diag else _JACOBI_OMEGA * b / level.diag
         n -= 1
     for _ in range(n):
         x = x + _JACOBI_OMEGA * _resid_scaled(level, x, b)
@@ -135,8 +148,12 @@ def _chebyshev(level: _Level, x, b, degree):
     delta = 0.5 * (c - a)
     sigma = theta / delta
 
-    # `x=None` means x≡0: r = b without paying the stencil apply.
-    d = (b / level.diag) if x is None else _resid_scaled(level, x, b)
+    # `x=None` means x≡0: r = b without paying the stencil apply (and,
+    # on unit-diag levels, without even the b/diag divide pass).
+    if x is None:
+        d = b if level.unit_diag else b / level.diag
+    else:
+        d = _resid_scaled(level, x, b)
     p = d / theta
     x = p if x is None else x + p
     rho = 1.0 / sigma
@@ -263,7 +280,10 @@ def _vcycle_hybrid(top_hat, inv_s, levels_phys, b):
     — algebraically identical to wrapping the all-physical V-cycle in
     S…S, with zero extra HBM passes."""
     x = _smooth(top_hat, None, b, _SMOOTH_SWEEPS)
-    r = b - _weights_apply(top_hat, x)
+    # On the unit-diag top level, b − Â·x IS the scaled residual — one
+    # fused kernel pass instead of apply + subtract.
+    r = (_resid_scaled(top_hat, x, b) if top_hat.unit_diag
+         else b - _weights_apply(top_hat, x))
     if len(levels_phys) > 1:
         rc = _restrict_cells(inv_s * r)
         ec = _vcycle(levels_phys, 1, rc)
@@ -363,7 +383,8 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
         + hwz[:, :, :-1] + hwz[:, :, 1:]
     )
     top_hat = _with_kernel(_Level(wx=hwx, wy=hwy, wz=hwz, extra=extra_hat,
-                                  diag=diag_hat, shape=shape))
+                                  diag=diag_hat, shape=shape,
+                                  unit_diag=True))
 
     # bf16 preconditioner: scaled TOP level (smoothing needs no diagonal
     # scaling passes) + PHYSICAL Galerkin coarse hierarchy (keeps the
@@ -375,7 +396,7 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
     top_hat16 = _with_kernel(
         _Level(wx=hwx.astype(lp), wy=hwy.astype(lp), wz=hwz.astype(lp),
                extra=extra_hat.astype(lp),
-               diag=jnp.ones(shape, lp), shape=shape))
+               diag=jnp.ones(shape, lp), shape=shape, unit_diag=True))
     levels_phys16 = _build_levels(wx.astype(lp), wy.astype(lp),
                                   wz.astype(lp), extra.astype(lp))
     levels_phys16 = [_with_kernel(l) for l in levels_phys16]
@@ -386,6 +407,13 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
 
     def apply_hat(p):
         return _weights_apply(top_hat, p)
+
+    apply_dot_hat = None
+    if top_hat.split is not None:
+        from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+
+        def apply_dot_hat(p):
+            return sp.apply_dot_7pt(p, top_hat.split)
 
     def precond_hat(r):
         return _vcycle_hybrid(top_hat16, inv_s16, levels_phys16,
@@ -400,7 +428,7 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
         singular=bool(singular), beta_faces=(bx, by, bz), c_top=c_top,
         levels=[top],
         scale=s, inv_scale=inv_s, apply_hat=apply_hat,
-        precond_hat=precond_hat,
+        precond_hat=precond_hat, apply_dot_hat=apply_dot_hat,
     )
 
 
@@ -417,7 +445,8 @@ def _project_out(x, v, fluid, vv):
 _F32_CG_FLOOR = 3e-5  # relative depth one f32 CG sweep can reliably reach
 
 
-def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv):
+def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv,
+             apply_dot_h=None):
     """Plain preconditioned CG from a zero initial guess (recurrence
     residual untouched — refreshing it mid-flight destroys conjugacy).
     Operates entirely in the diagonally-scaled space (see solve_pcg).
@@ -425,7 +454,10 @@ def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv):
     ‖r‖² is carried through the loop (computed in the same fusion as the
     r update) so the convergence check costs no extra HBM pass. Âp needs
     no fluid mask: the scaled operator has zero fluid↔solid couplings
-    and all CG vectors are identically zero on solid cells."""
+    and all CG vectors are identically zero on solid cells.
+
+    `apply_dot_h` (TPU kernel path): p → (Â·p, p·Â·p) in one fused pass,
+    eliminating the dot's separate reads of p and Â·p."""
     r = b
     z = precond_h(r)
     x = jnp.zeros_like(b)
@@ -440,8 +472,11 @@ def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv):
 
     def body(carry):
         x, r, p, rz, rr, k = carry
-        ap = apply_h(p)
-        denom = _dot(p, ap)
+        if apply_dot_h is not None:
+            ap, denom = apply_dot_h(p)
+        else:
+            ap = apply_h(p)
+            denom = _dot(p, ap)
         alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
@@ -547,7 +582,8 @@ def solve_pcg(
     for _ in range(n_refine):
         inner_tol = jnp.maximum(_F32_CG_FLOOR * jnp.sqrt(_dot(r, r)), tol)
         dx, iters = _cg_core(apply_h, precond_h, fluid, r, inner_tol,
-                             max_iters, nullv, nullvv)
+                             max_iters, nullv, nullvv,
+                             apply_dot_h=problem.apply_dot_hat)
         xh = xh + dx
         total = total + iters
         r = true_residual(xh)

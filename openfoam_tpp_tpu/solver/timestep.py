@@ -62,7 +62,6 @@ def make_step_core(
     motion: mo.TableMotion | None = None,
     open_top: bool = True,
     face_xyz=None,
-    use_momentum_kernel: bool = False,
     forcing=None,
     sync_axis: str | None = None,
 ):
@@ -197,17 +196,7 @@ def make_step_core(
             kappa = mom.curvature(alpha_new, spacing)
 
         vels = (state.u, state.v, state.w)
-        if use_momentum_kernel:
-            # Fused Pallas megakernel: one data pass for all three
-            # components' visc − conv (ops/pallas/momentum3.py).
-            from openfoam_tpp_tpu.ops.pallas import momentum3 as m3
-
-            rhs = m3.momentum_rhs_mac(state.u, state.v, state.w, rho_phi,
-                                      mu, spacing)
-            mu_edges = (mom.edge_viscosities(mu)
-                        if controls.dev2_stress else None)
-        else:
-            mu_edges = mom.edge_viscosities(mu)
+        mu_edges = mom.edge_viscosities(mu)
         # dev2 transpose stress (fvSchemes:32 parity): ∇·U from the step-n
         # aperture-weighted fluxes (≈ 0 after the previous projection).
         div_u = (st.divergence(*phi, spacing)
@@ -216,12 +205,9 @@ def make_step_core(
         for ax, q in enumerate(vels):
             rof = st.cells_to_faces_avg(rho_old, ax)
             rnf = st.cells_to_faces_avg(rho_new, ax)
-            if use_momentum_kernel:
-                vc = rhs[ax]
-            else:
-                conv = mom.convect_face_field(q, ax, rho_phi, spacing)
-                visc = mom.viscous_face_field(q, ax, mu, spacing, mu_edges)
-                vc = visc - conv
+            conv = mom.convect_face_field(q, ax, rho_phi, spacing)
+            visc = mom.viscous_face_field(q, ax, mu, spacing, mu_edges)
+            vc = visc - conv
             if controls.dev2_stress:
                 vc = vc + mom.transpose_viscous_face_field(
                     vels, ax, mu, spacing, mu_edges, div_u)
@@ -344,13 +330,8 @@ def make_step(
         tuple(fr.face_coordinates(geom, ax) for ax in range(3))
         if rot_enabled else None
     )
-    use_mk = False
-    if controls.use_momentum_kernel:
-        from openfoam_tpp_tpu.ops.pallas import momentum3 as m3
-
-        use_mk = m3.supported(tuple(geom.shape), dtype)
     core = make_step_core(props, controls, motion=motion, open_top=open_top,
-                          face_xyz=face_xyz, use_momentum_kernel=use_mk)
+                          face_xyz=face_xyz)
 
     def step(state: SimState, params, t_stop=None):
         return core(state, params, ga, spacing, t_stop=t_stop)

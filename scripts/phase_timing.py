@@ -74,8 +74,39 @@ def timeit(name, fn, *args, n=30):
 @jax.jit
 def run_mules(alpha, phi, dt):
     a, rp, _ = mules.advect_alpha(alpha, phi, ga, spacing, dt,
-                                  props.rho1, props.rho2)
+                                  props.rho1, props.rho2,
+                                  use_pallas=controls.use_pallas)
     return a, rp
+
+
+@jax.jit
+def run_mules_jnp(alpha, phi, dt):
+    a, rp, _ = mules.advect_alpha(alpha, phi, ga, spacing, dt,
+                                  props.rho1, props.rho2, use_pallas=False)
+    return a, rp
+
+
+@jax.jit
+def run_fluxes(alpha, phi):
+    """One subcycle's flux construction (compression + low/anti)."""
+    apertures = (ga["ax"], ga["ay"], ga["az"])
+    u_cs = mules.compression_fluxes(alpha, phi, apertures, spacing, 1.0)
+    lows, antis = mules._face_fluxes(alpha, phi, u_cs)
+    return lows, antis
+
+
+@jax.jit
+def run_limiter(alpha, phi, dt):
+    """One subcycle's FCT limiter (3 iterations) on real fluxes."""
+    apertures = (ga["ax"], ga["ay"], ga["az"])
+    inv_vol = jnp.where(fluid, 1.0 / jnp.maximum(ga["vfrac"], 0.5), 0.0)
+    u_cs = mules.compression_fluxes(alpha, phi, apertures, spacing, 1.0)
+    lows, antis = mules._face_fluxes(alpha, phi, u_cs)
+    a_low = alpha - dt / 3.0 * inv_vol * mules._div(list(lows), spacing)
+    lam = mules._fct_limiter(alpha, a_low, list(antis), dt / 3.0, spacing,
+                             inv_vol, fluid, 3,
+                             use_pallas=controls.use_pallas)
+    return lam
 
 
 @jax.jit
@@ -125,6 +156,10 @@ print(f"backend={jax.default_backend()}  grid={geom.shape}  "
       f"fluid={geom.n_fluid_cells}  dt={float(np.asarray(dt)):.3e}")
 
 t_mules = timeit("mules(3x3)", run_mules, state.alpha, phi, dt)
+timeit("mules(3x3) jnp-limiter", run_mules_jnp, state.alpha, phi, dt)
+t_flux = timeit("  1-subcycle fluxes", run_fluxes, state.alpha, phi)
+t_lim = timeit("  fluxes+limiter(3)", run_limiter, state.alpha, phi, dt)
+print(f"  limiter-only ~ {t_lim - t_flux:.3f} ms/subcycle")
 t_mom_full = timeit("mules+momentum", run_momentum, state.alpha, state.u,
                     state.v, state.w, phi, dt)
 t_build = timeit("poisson build", run_build, rho_new)
