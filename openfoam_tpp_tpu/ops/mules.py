@@ -191,17 +191,44 @@ def advect_alpha(
 
     dt_sub = dt / n_subcycles
     u_cs = compression_fluxes(alpha, phi, apertures, spacing, c_alpha)
+    use_flux_kernel = False
     if use_pallas:
         from openfoam_tpp_tpu.ops.pallas import mules_fct as mf
+        from openfoam_tpp_tpu.ops.pallas import mules_flux as mfx
 
         use_pallas = mf.supported(alpha.shape, alpha.dtype)
+        use_flux_kernel = (
+            use_pallas
+            and u_cs is not None
+            and mfx.supported(alpha.shape, alpha.dtype)
+        )
+    if use_flux_kernel:
+        # Cell lower-face layout views (the kernel's native layout; the
+        # dropped global upper-boundary faces are wall-zeros / the
+        # top plane rewritten by _apply_top_bc below either way).
+        phis_cell = (phi[0][:-1], phi[1][:, :-1], phi[2][:, :, :-1])
+        ucs_cell = (u_cs[0][:-1], u_cs[1][:, :-1], u_cs[2][:, :, :-1])
+
+    def _cell_to_faces(arrs):
+        """Re-append the implicit zero upper-boundary plane per axis."""
+        fx, fy, fz = arrs
+        return [
+            jnp.concatenate([fx, jnp.zeros_like(fx[:1])], 0),
+            jnp.concatenate([fy, jnp.zeros_like(fy[:, :1])], 1),
+            jnp.concatenate([fz, jnp.zeros_like(fz[:, :, :1])], 2),
+        ]
 
     def subcycle(carry, _):
         a, flux_acc = carry
-        lows, antis = _face_fluxes(a, phi, u_cs)
-        lows = list(lows)
+        if use_flux_kernel:
+            lows_c, antis_c = mfx.flux_all(a, phis_cell, ucs_cell)
+            lows = _cell_to_faces(lows_c)
+            antis = _cell_to_faces(antis_c)
+        else:
+            lows, antis = _face_fluxes(a, phi, u_cs)
+            lows = list(lows)
+            antis = list(antis)
         lows[2] = _apply_top_bc(lows[2], phi[2], a)
-        antis = list(antis)
         antis[2] = antis[2].at[:, :, -1].set(0.0)
 
         a_low = a - dt_sub * inv_vol * _div(lows, spacing)

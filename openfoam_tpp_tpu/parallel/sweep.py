@@ -26,6 +26,7 @@ batch stays in one jit program — the standard batched-ODE compromise.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -186,9 +187,13 @@ def make_geom_sweep_step(
     targets together (the manager's batched runner depends on this);
     `lockstep=False` lets each lane take its own dt within the shared
     program (cases drift apart between write landings)."""
-    # The fused stencil kernel is not exercised under vmap yet — keep the
-    # batched path on the (well-fused) jnp stencils.
-    controls = dataclasses.replace(controls, use_pallas=False)
+    # Fused stencil kernels under vmap lower via the pallas batching rule
+    # (one grid step per case). For the small per-case grids sweeps run,
+    # the case-minor jnp path vectorizes across lanes instead, which
+    # measured faster — kernels stay opt-in here (OFTPP_SWEEP_PALLAS=1
+    # to A/B; see docs/ROADMAP.md §3b).
+    if os.environ.get("OFTPP_SWEEP_PALLAS") != "1":
+        controls = dataclasses.replace(controls, use_pallas=False)
     axis_name = "case" if lockstep else None
     core = make_step_core(props, controls, open_top=True,
                           sync_axis=axis_name)

@@ -42,14 +42,19 @@ from openfoam_tpp_tpu.ops import stencil as st
 import os as _os
 
 _JACOBI_OMEGA = 0.8
-_COARSEST_SWEEPS = 24
-# Env-overridable for perf experiments (docs/ROADMAP.md §5a): sweeps per
-# smoothing pass and smoother family.
+# Env-overridable for perf experiments (docs/ROADMAP.md §5a, tuned via
+# scripts/cg_tuning.py): sweeps per smoothing pass, smoother family,
+# Chebyshev window, cycle shape, coarsest-level effort, precond dtype.
+_COARSEST_SWEEPS = int(_os.environ.get("OFTPP_COARSEST_SWEEPS", "24"))
 _SMOOTH_SWEEPS = int(_os.environ.get("OFTPP_SMOOTH_SWEEPS", "2"))
 _SMOOTHER = _os.environ.get("OFTPP_SMOOTHER", "chebyshev")
 #   'chebyshev' (degree = _SMOOTH_SWEEPS) | 'jacobi'
-_CHEB_LMAX = 2.0          # Gershgorin bound for D^-1 A (positive weights)
-_CHEB_LMIN_FRAC = 0.25    # smooth the upper 3/4 of the spectrum
+_CHEB_LMAX = float(_os.environ.get("OFTPP_CHEB_LMAX", "2.0"))
+#   Gershgorin bound for D^-1 A (positive weights)
+_CHEB_LMIN_FRAC = float(_os.environ.get("OFTPP_CHEB_LMIN", "0.25"))
+#   smooth the upper (1 − frac) of the spectrum
+_MG_GAMMA = int(_os.environ.get("OFTPP_MG_GAMMA", "1"))
+#   coarse-corrections per level visit: 1 = V-cycle, 2 = W-class cycle
 
 
 @dataclasses.dataclass
@@ -257,10 +262,14 @@ def _vcycle(levels, li, b):
     if li == len(levels) - 1:
         return _jacobi(level, None, b, _COARSEST_SWEEPS)
     x = _smooth(level, None, b, _SMOOTH_SWEEPS)
-    r = b - _weights_apply(level, x)
-    rc = _restrict_cells(r)
-    ec = _vcycle(levels, li + 1, rc)
-    x = x + _prolong_cells(ec, level.shape)
+    # _MG_GAMMA > 1: repeat the coarse correction on the updated residual
+    # (W-class cycle) — stronger coarse solve for the cost of one extra
+    # fine residual + coarse visit per extra pass.
+    for _ in range(_MG_GAMMA):
+        r = b - _weights_apply(level, x)
+        rc = _restrict_cells(r)
+        ec = _vcycle(levels, li + 1, rc)
+        x = x + _prolong_cells(ec, level.shape)
     x = _smooth(level, x, b, _SMOOTH_SWEEPS)
     return x
 
@@ -280,22 +289,26 @@ def _vcycle_hybrid(top_hat, inv_s, levels_phys, b):
     — algebraically identical to wrapping the all-physical V-cycle in
     S…S, with zero extra HBM passes."""
     x = _smooth(top_hat, None, b, _SMOOTH_SWEEPS)
-    # On the unit-diag top level, b − Â·x IS the scaled residual — one
-    # fused kernel pass instead of apply + subtract.
-    r = (_resid_scaled(top_hat, x, b) if top_hat.unit_diag
-         else b - _weights_apply(top_hat, x))
-    if len(levels_phys) > 1:
-        rc = _restrict_cells(inv_s * r)
-        ec = _vcycle(levels_phys, 1, rc)
-        x = x + inv_s * _prolong_cells(ec, top_hat.shape)
-    else:
-        # No coarse grid (tiny problems): extra smoothing on the residual.
-        x = x + _jacobi(top_hat, None, r, _COARSEST_SWEEPS)
+    for _ in range(_MG_GAMMA):
+        # On the unit-diag top level, b − Â·x IS the scaled residual — one
+        # fused kernel pass instead of apply + subtract.
+        r = (_resid_scaled(top_hat, x, b) if top_hat.unit_diag
+             else b - _weights_apply(top_hat, x))
+        if len(levels_phys) > 1:
+            rc = _restrict_cells(inv_s * r)
+            ec = _vcycle(levels_phys, 1, rc)
+            x = x + inv_s * _prolong_cells(ec, top_hat.shape)
+        else:
+            # No coarse grid (tiny problems): extra smoothing on the
+            # residual.
+            x = x + _jacobi(top_hat, None, r, _COARSEST_SWEEPS)
+            break
     x = _smooth(top_hat, x, b, _SMOOTH_SWEEPS)
     return x
 
 
-_PRECOND_DTYPE = jnp.bfloat16  # V-cycle runs in bf16: it is ONLY a
+_PRECOND_DTYPE = (jnp.float32 if _os.environ.get("OFTPP_PRECOND_F32") == "1"
+                  else jnp.bfloat16)  # V-cycle runs in bf16: it is ONLY a
 # preconditioner (any fixed SPD-ish linear operator works inside CG with
 # f32 outer recurrence + iterative-refinement restarts), and the V-cycle
 # is ~60% of the pressure-solve HBM traffic — bf16 halves it.

@@ -16,6 +16,7 @@ from openfoam_tpp_tpu.mesh import build_tank_geometry
 from openfoam_tpp_tpu.ops import mules
 from openfoam_tpp_tpu.ops import stencil as st
 from openfoam_tpp_tpu.ops.pallas import mules_fct as mf
+from openfoam_tpp_tpu.ops.pallas import mules_flux as mfx
 from openfoam_tpp_tpu.solver.timestep import geometry_arrays
 
 
@@ -79,6 +80,76 @@ def test_fct_iter_matches_jnp_limiter():
                 ax, n_iters, float(diff.max()))
 
 
+def test_flux_all_matches_jnp_fluxes():
+    """Fused flux-construction kernel vs _face_fluxes — exact parity on
+    every stored (lower) face; the dropped upper-boundary faces are
+    wall zeros (x/y) or rewritten by the top BC (z)."""
+    geom, ga, spacing, alpha, phi = _setup()
+    apertures = (ga["ax"], ga["ay"], ga["az"])
+    u_cs = mules.compression_fluxes(alpha, phi, apertures, spacing, 1.0)
+    lows_ref, antis_ref = mules._face_fluxes(alpha, phi, u_cs)
+
+    assert alpha.shape[0] % mfx.SLAB == 0, alpha.shape
+    phis_cell = (phi[0][:-1], phi[1][:, :-1], phi[2][:, :, :-1])
+    ucs_cell = (u_cs[0][:-1], u_cs[1][:, :-1], u_cs[2][:, :, :-1])
+    lows_k, antis_k = mfx.flux_all(alpha, phis_cell, ucs_cell,
+                                   interpret=True)
+
+    for ax in range(3):
+        sl = [np.s_[:-1], np.s_[:, :-1], np.s_[:, :, :-1]][ax]
+        for name, ref, ker in (("low", lows_ref, lows_k),
+                               ("anti", antis_ref, antis_k)):
+            r = np.asarray(ref[ax])[sl]
+            k = np.asarray(ker[ax])
+            d = np.abs(r - k).max()
+            assert d < 1e-7, (name, ax, float(d))
+        # Dropped upper-boundary faces: x/y identically zero in the
+        # reference (wall apertures); z top is rewritten downstream.
+        if ax < 2:
+            bsl = [np.s_[-1:], np.s_[:, -1:]][ax]
+            assert np.abs(np.asarray(lows_ref[ax])[bsl]).max() == 0.0
+            assert np.abs(np.asarray(antis_ref[ax])[bsl]).max() == 0.0
+
+
+def test_advect_alpha_flux_kernel_path_matches():
+    """Full advect_alpha with BOTH kernels (flux construction + FCT
+    limiter) vs the pure-jnp path."""
+    geom, ga, spacing, alpha, phi = _setup()
+    props = PhysicalProperties()
+
+    a_ref, rp_ref, _ = mules.advect_alpha(
+        alpha, phi, ga, spacing, 2e-4, props.rho1, props.rho2)
+
+    import unittest.mock as mock
+
+    orig_fct = mf.fct_iter
+    orig_flux = mfx.flux_all
+
+    def interp_fct(*a, **k):
+        k["interpret"] = True
+        return orig_fct(*a, **k)
+
+    def interp_flux(*a, **k):
+        k["interpret"] = True
+        return orig_flux(*a, **k)
+
+    with mock.patch.object(mf, "fct_iter", interp_fct), \
+            mock.patch.object(mf, "supported", lambda *a, **k: True), \
+            mock.patch.object(mfx, "flux_all", interp_flux), \
+            mock.patch.object(mfx, "supported", lambda *a, **k: True):
+        a_pal, rp_pal, _ = mules.advect_alpha(
+            alpha, phi, ga, spacing, 2e-4, props.rho1, props.rho2,
+            use_pallas=True)
+
+    assert np.abs(np.asarray(a_pal) - np.asarray(a_ref)).max() < 1e-5
+    for ax in range(3):
+        d = np.abs(np.asarray(rp_pal[ax]) - np.asarray(rp_ref[ax])).max()
+        assert d < 1e-2, (ax, d)
+    fluid = np.asarray(ga["vfrac"]) > 0
+    ap = np.asarray(a_pal)
+    assert ap[fluid].min() >= 0.0 and ap[fluid].max() <= 1.0 + 1e-6
+
+
 def test_advect_alpha_pallas_path_matches():
     """Full advect_alpha with the kernel limiter vs the jnp limiter:
     identical alpha update and mass flux within f32 tolerance."""
@@ -97,7 +168,10 @@ def test_advect_alpha_pallas_path_matches():
         return orig(*a, **k)
 
     with mock.patch.object(mf, "fct_iter", interp), \
-            mock.patch.object(mf, "supported", lambda *a, **k: True):
+            mock.patch.object(mf, "supported", lambda *a, **k: True), \
+            mock.patch.object(mfx, "supported", lambda *a, **k: False):
+        # flux kernel off: this test isolates the limiter-kernel path
+        # (the combined path is test_advect_alpha_flux_kernel_path_matches).
         a_pal, rp_pal, _ = mules.advect_alpha(
             alpha, phi, ga, spacing, 2e-4, props.rho1, props.rho2,
             use_pallas=True)
