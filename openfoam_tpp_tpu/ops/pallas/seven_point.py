@@ -229,6 +229,174 @@ def apply_dot_7pt(p, split, interpret=False):
     return ap, jnp.sum(partials)
 
 
+# ---------------------------------------------------------------- fused
+# degree-2 Chebyshev smoothing (the V-cycle's top-level pre/post sweeps,
+# solver/poisson.py _chebyshev) — one kernel pass each instead of ~4
+# stencil passes + the axpy chains between them. Unit-diagonal (scaled)
+# operator only — that is the only level the top smoother runs on.
+#
+# Halo reach is ±2 x-planes (two chained stencil applies); the clamped
+# index maps at the global ends produce stale values that are always
+# multiplied by the zero boundary-face weights before they can reach a
+# real cell (same invariant as the single-apply kernels above).
+
+
+def _in_plane_nb(xc, wyl, wyh, wzl, wzh, ny, nz):
+    ym = jnp.concatenate([xc[:, :1, :], xc[:, : ny - 1, :]], 1)
+    yp = jnp.concatenate([xc[:, 1:, :], xc[:, ny - 1 :, :]], 1)
+    zm = jnp.concatenate([xc[:, :, :1], xc[:, :, : nz - 1]], 2)
+    zp = jnp.concatenate([xc[:, :, 1:], xc[:, :, nz - 1 :]], 2)
+    return wyl * ym + wyh * yp + wzl * zm + wzh * zp
+
+
+def _hat_apply(xm, xc, xp, w6, ny, nz):
+    """Â·x = x − Σ w·x_nb with explicit x-neighbor plane ranges."""
+    wxl, wxh, wyl, wyh, wzl, wzh = w6
+    nb = (wxl * xm + wxh * xp
+          + _in_plane_nb(xc, wyl, wyh, wzl, wzh, ny, nz))
+    return xc - nb
+
+
+def _cheb_coefs(lmax, lmin_frac):
+    a, c = lmin_frac * lmax, 1.02 * lmax
+    theta = 0.5 * (c + a)
+    delta = 0.5 * (c - a)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    rho_new = 1.0 / (2.0 * sigma - rho)
+    return theta, rho_new * rho, 2.0 * rho_new / delta
+
+
+def _kernel_cheb2_pre(theta, c_pp, c_pd,
+                      b_m2, b_m1, b_c, b_p1, b_p2,
+                      wxl_m, wxl_c, wxl_p, wxh_m, wxh_c, wxh_p,
+                      wyl_m, wyl_c, wyl_p, wyh_m, wyh_c, wyh_p,
+                      wzl_m, wzl_c, wzl_p, wzh_m, wzh_c, wzh_p,
+                      x_out, r_out):
+    """Degree-2 Chebyshev from x≡0 on Â, PLUS the post-smooth residual:
+    x = cheb2(0, b), r = b − Â·x — the V-cycle entry's full top-level
+    work (poisson._vcycle_hybrid) in one pass."""
+    s, ny, nz = x_out.shape
+    be = jnp.concatenate(
+        [r[...] for r in (b_m2, b_m1, b_c, b_p1, b_p2)], axis=0)  # s+4
+    w6e = tuple(
+        jnp.concatenate([m[...], c[...], p[...]], axis=0)          # s+2
+        for m, c, p in ((wxl_m, wxl_c, wxl_p), (wxh_m, wxh_c, wxh_p),
+                        (wyl_m, wyl_c, wyl_p), (wyh_m, wyh_c, wyh_p),
+                        (wzl_m, wzl_c, wzl_p), (wzh_m, wzh_c, wzh_p)))
+    # x1 = p1 = b/θ  (cells gi−2 … gi+s+1).
+    x1e = be / theta
+    # d1 = b − Â·x1 on the weight range (cells gi−1 … gi+s).
+    ax1 = _hat_apply(x1e[: s + 2], x1e[1 : s + 3], x1e[2 : s + 4],
+                     w6e, ny, nz)
+    d1 = be[1 : s + 3] - ax1
+    # Second Chebyshev term; x2 on the same range.
+    p2 = c_pp * x1e[1 : s + 3] + c_pd * d1
+    x2 = x1e[1 : s + 3] + p2
+    # Residual on the slab (cells gi … gi+s−1).
+    w6c = tuple(w[1 : s + 1] for w in w6e)
+    ax2 = _hat_apply(x2[:s], x2[1 : s + 1], x2[2 : s + 2], w6c, ny, nz)
+    x_out[:, :, :] = x2[1 : s + 1]
+    r_out[:, :, :] = be[2 : s + 2] - ax2
+
+
+def _kernel_cheb2_post(theta, c_pp, c_pd,
+                       x_m2, x_m1, x_c, x_p1, x_p2,
+                       b_m1, b_c, b_p1,
+                       wxl_m, wxl_c, wxl_p, wxh_m, wxh_c, wxh_p,
+                       wyl_m, wyl_c, wyl_p, wyh_m, wyh_c, wyh_p,
+                       wzl_m, wzl_c, wzl_p, wzh_m, wzh_c, wzh_p,
+                       x_out):
+    """Degree-2 Chebyshev continuation from the corrected x (the
+    V-cycle's post-smooth) in one pass."""
+    s, ny, nz = x_out.shape
+    xe = jnp.concatenate(
+        [r[...] for r in (x_m2, x_m1, x_c, x_p1, x_p2)], axis=0)  # s+4
+    be = jnp.concatenate(
+        [r[...] for r in (b_m1, b_c, b_p1)], axis=0)               # s+2
+    w6e = tuple(
+        jnp.concatenate([m[...], c[...], p[...]], axis=0)
+        for m, c, p in ((wxl_m, wxl_c, wxl_p), (wxh_m, wxh_c, wxh_p),
+                        (wyl_m, wyl_c, wyl_p), (wyh_m, wyh_c, wyh_p),
+                        (wzl_m, wzl_c, wzl_p), (wzh_m, wzh_c, wzh_p)))
+    # d1 = b − Â·x on cells gi−1 … gi+s.
+    ax = _hat_apply(xe[: s + 2], xe[1 : s + 3], xe[2 : s + 4],
+                    w6e, ny, nz)
+    d1 = be - ax
+    p1 = d1 / theta
+    x1 = xe[1 : s + 3] + p1
+    # Second term on the slab.
+    w6c = tuple(w[1 : s + 1] for w in w6e)
+    ax1 = _hat_apply(x1[:s], x1[1 : s + 1], x1[2 : s + 2], w6c, ny, nz)
+    d2 = be[1 : s + 1] - ax1
+    p2 = c_pp * p1[1 : s + 1] + c_pd * d2
+    x_out[:, :, :] = x1[1 : s + 1] + p2
+
+
+def _halo_specs(nx, ny, nz):
+    def blk():
+        return pl.BlockSpec((SLAB, ny, nz), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def plane(index_map):
+        return pl.BlockSpec((1, ny, nz), index_map,
+                            memory_space=pltpu.VMEM)
+
+    last = nx - 1
+    m2 = plane(lambda i: (jnp.maximum(i * SLAB - 2, 0), 0, 0))
+    m1 = plane(lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0))
+    p1 = plane(lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0))
+    p2 = plane(lambda i: (jnp.minimum((i + 1) * SLAB + 1, last), 0, 0))
+    return blk, m2, m1, p1, p2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lmax", "lmin_frac", "interpret"))
+def cheb2_pre_7pt(b, split, lmax, lmin_frac, interpret=False):
+    """(x, r) = (cheb2-smooth of Â x = b from zero, b − Â·x) — one pass."""
+    nx, ny, nz = b.shape
+    assert nx % SLAB == 0
+    theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
+    blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz)
+
+    w_specs, w_args = [], []
+    for w in split:
+        w_specs += [m1, blk(), p1]
+        w_args += [w, w, w]
+    return pl.pallas_call(
+        functools.partial(_kernel_cheb2_pre, theta, c_pp, c_pd),
+        grid=(nx // SLAB,),
+        in_specs=[m2, m1, blk(), p1, p2] + w_specs,
+        out_specs=(blk(), blk()),
+        out_shape=(jax.ShapeDtypeStruct(b.shape, b.dtype),
+                   jax.ShapeDtypeStruct(b.shape, b.dtype)),
+        interpret=interpret,
+    )(b, b, b, b, b, *w_args)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lmax", "lmin_frac", "interpret"))
+def cheb2_post_7pt(x, b, split, lmax, lmin_frac, interpret=False):
+    """cheb2-smooth of Â x = b continuing from x — one pass."""
+    nx, ny, nz = b.shape
+    assert nx % SLAB == 0
+    theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
+    blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz)
+
+    w_specs, w_args = [], []
+    for w in split:
+        w_specs += [m1, blk(), p1]
+        w_args += [w, w, w]
+    return pl.pallas_call(
+        functools.partial(_kernel_cheb2_post, theta, c_pp, c_pd),
+        grid=(nx // SLAB,),
+        in_specs=[m2, m1, blk(), p1, p2, m1, blk(), p1] + w_specs,
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+        interpret=interpret,
+    )(x, x, x, x, x, b, b, b, *w_args)
+
+
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
 
 

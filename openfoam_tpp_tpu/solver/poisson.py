@@ -55,6 +55,8 @@ _CHEB_LMIN_FRAC = float(_os.environ.get("OFTPP_CHEB_LMIN", "0.25"))
 #   smooth the upper (1 − frac) of the spectrum
 _MG_GAMMA = int(_os.environ.get("OFTPP_MG_GAMMA", "1"))
 #   coarse-corrections per level visit: 1 = V-cycle, 2 = W-class cycle
+_FUSED_CHEB = _os.environ.get("OFTPP_FUSED_CHEB", "1") != "0"
+#   one-pass Pallas degree-2 Chebyshev smoother on kernel levels
 
 
 @dataclasses.dataclass
@@ -177,6 +179,37 @@ def _smooth(level: _Level, x, b, n):
     return _jacobi(level, x, b, n)
 
 
+def _fused_cheb2(level: _Level) -> bool:
+    """The degree-2 Chebyshev sweeps on a unit-diagonal kernel level can
+    run as ONE fused Pallas pass each (ops/pallas/seven_point.py
+    cheb2_pre/post_7pt) instead of ~4 stencil passes + axpy chains."""
+    return (_FUSED_CHEB and level.split is not None and level.unit_diag
+            and _SMOOTHER == "chebyshev" and _SMOOTH_SWEEPS == 2)
+
+
+def _smooth_pre_resid(level: _Level, b):
+    """(x, r): entry smoothing from x≡0 plus its residual."""
+    if _fused_cheb2(level):
+        from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+
+        return sp.cheb2_pre_7pt(b, level.split, _CHEB_LMAX,
+                                _CHEB_LMIN_FRAC)
+    x = _smooth(level, None, b, _SMOOTH_SWEEPS)
+    r = (_resid_scaled(level, x, b) if level.unit_diag
+         else b - _weights_apply(level, x))
+    return x, r
+
+
+def _smooth_post(level: _Level, x, b):
+    """Exit smoothing continuing from the corrected x."""
+    if _fused_cheb2(level):
+        from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+
+        return sp.cheb2_post_7pt(x, b, level.split, _CHEB_LMAX,
+                                 _CHEB_LMIN_FRAC)
+    return _smooth(level, x, b, _SMOOTH_SWEEPS)
+
+
 def _pad_axis_even(a, axis):
     """Zero-pad one axis to even length (ghost cells carry zero weight)."""
     if a.shape[axis] % 2 == 0:
@@ -288,12 +321,13 @@ def _vcycle_hybrid(top_hat, inv_s, levels_phys, b):
       ê_corr = inv_s ⊙ P e_phys  (fuses into the prolong-add)
     — algebraically identical to wrapping the all-physical V-cycle in
     S…S, with zero extra HBM passes."""
-    x = _smooth(top_hat, None, b, _SMOOTH_SWEEPS)
-    for _ in range(_MG_GAMMA):
-        # On the unit-diag top level, b − Â·x IS the scaled residual — one
-        # fused kernel pass instead of apply + subtract.
-        r = (_resid_scaled(top_hat, x, b) if top_hat.unit_diag
-             else b - _weights_apply(top_hat, x))
+    x, r = _smooth_pre_resid(top_hat, b)
+    for g in range(_MG_GAMMA):
+        if g > 0:
+            # On the unit-diag top level, b − Â·x IS the scaled residual
+            # — one fused kernel pass instead of apply + subtract.
+            r = (_resid_scaled(top_hat, x, b) if top_hat.unit_diag
+                 else b - _weights_apply(top_hat, x))
         if len(levels_phys) > 1:
             rc = _restrict_cells(inv_s * r)
             ec = _vcycle(levels_phys, 1, rc)
@@ -303,7 +337,7 @@ def _vcycle_hybrid(top_hat, inv_s, levels_phys, b):
             # residual.
             x = x + _jacobi(top_hat, None, r, _COARSEST_SWEEPS)
             break
-    x = _smooth(top_hat, x, b, _SMOOTH_SWEEPS)
+    x = _smooth_post(top_hat, x, b)
     return x
 
 

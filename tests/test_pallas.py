@@ -50,6 +50,87 @@ def test_apply_7pt_matches_jnp_operator():
     assert np.abs(out_r - ref_r).max() / scale_r < 1e-5
 
 
+def _split_hat(geom, ga, prob, spacing, rho):
+    """Rebuild the scaled-space split weights exactly as build_poisson."""
+    hx, hy, hz = spacing
+    bx = 1.0 / st.cells_to_faces_avg(rho, 0)
+    by = 1.0 / st.cells_to_faces_avg(rho, 1)
+    bz = 1.0 / st.cells_to_faces_avg(rho, 2)
+    wx = ga["ax"] * bx / (hx * hx)
+    wy = ga["ay"] * by / (hy * hy)
+    wz = (ga["az"] * bz / (hz * hz)).at[:, :, -1].set(0.0)
+    s = prob.scale
+    sl_x, sr_x = st.face_lr(s, 0)
+    sl_y, sr_y = st.face_lr(s, 1)
+    sl_z, sr_z = st.face_lr(s, 2)
+    return sp.split_weights(wx * sl_x * sr_x, wy * sl_y * sr_y,
+                            wz * sl_z * sr_z)
+
+
+def test_fused_cheb2_smoother_parity():
+    """The one-pass degree-2 Chebyshev pre(+residual)/post kernels match
+    the unfused poisson._chebyshev recurrence on Â."""
+    geom = build_tank_geometry(H=0.05, D=0.02, mesh=0.0025, geo="flat",
+                               round_to=sp.SLAB)
+    ga = geometry_arrays(geom)
+    rho = mixture_density(init_state(geom).alpha, PhysicalProperties())
+    spacing = tuple(float(s) for s in geom.spacing)
+    prob = po.build_poisson(ga, spacing, rho, ga["top_open"])
+    split_hat = _split_hat(geom, ga, prob, spacing, rho)
+
+    lmax, lmin_frac = 2.0, 0.25
+    a, c = lmin_frac * lmax, 1.02 * lmax
+    theta = 0.5 * (c + a)
+    delta = 0.5 * (c - a)
+    sigma = theta / delta
+    rho1 = 1.0 / sigma
+    rho2 = 1.0 / (2.0 * sigma - rho1)
+
+    def unfused_pre(b):
+        p1 = b / theta
+        x1 = p1
+        d = b - prob.apply_hat(x1)
+        p2 = (rho2 * rho1) * p1 + (2.0 * rho2 / delta) * d
+        x2 = x1 + p2
+        return x2, b - prob.apply_hat(x2)
+
+    def unfused_post(x, b):
+        d = b - prob.apply_hat(x)
+        p1 = d / theta
+        x1 = x + p1
+        d2 = b - prob.apply_hat(x1)
+        p2 = (rho2 * rho1) * p1 + (2.0 * rho2 / delta) * d2
+        return x1 + p2
+
+    b = jax.random.normal(jax.random.PRNGKey(4), geom.shape, jnp.float32)
+    ref_x, ref_r = unfused_pre(b)
+    out_x, out_r = sp.cheb2_pre_7pt(b, split_hat, lmax, lmin_frac,
+                                    interpret=True)
+    sx = float(jnp.abs(ref_x).max())
+    sr = float(jnp.abs(ref_r).max())
+    assert np.abs(np.asarray(out_x) - np.asarray(ref_x)).max() / sx < 1e-5
+    assert np.abs(np.asarray(out_r) - np.asarray(ref_r)).max() / sr < 1e-5
+
+    ref_x2 = unfused_post(ref_x, b)
+    out_x2 = sp.cheb2_post_7pt(ref_x, b, split_hat, lmax, lmin_frac,
+                               interpret=True)
+    s2 = float(jnp.abs(ref_x2).max())
+    assert np.abs(np.asarray(out_x2) - np.asarray(ref_x2)).max() / s2 < 1e-5
+
+    # bf16 (the production preconditioner dtype): same math, loose tol.
+    b16 = b.astype(jnp.bfloat16)
+    split16 = tuple(w.astype(jnp.bfloat16) for w in split_hat)
+    x16, r16 = sp.cheb2_pre_7pt(b16, split16, lmax, lmin_frac,
+                                interpret=True)
+    assert x16.dtype == jnp.bfloat16
+    assert np.abs(np.asarray(x16, np.float32)
+                  - np.asarray(ref_x)).max() / sx < 0.05
+    x16b = sp.cheb2_post_7pt(x16, b16, split16, lmax, lmin_frac,
+                             interpret=True)
+    assert np.abs(np.asarray(x16b, np.float32)
+                  - np.asarray(ref_x2)).max() / s2 < 0.05
+
+
 def test_unit_diag_and_fused_apply_dot():
     """Unit-diagonal kernels (the scaled operator Â) and the fused
     (Â·p, p·Â·p) CG curvature kernel match the jnp reference."""
