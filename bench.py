@@ -32,10 +32,11 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def _time_window(multi, state, params, n_steps, chunk):
     """Advance `n_steps` (in `chunk`-step jitted chunks), timed.
-    Collects per-step pressure-iteration counts for the histogram."""
+    Collects per-step pressure-iteration counts for the histogram.
+    `state` is the carry pytree; element [0] must be the SimState."""
     import jax
 
-    t0 = float(np.asarray(state.t))
+    t0 = float(np.asarray(state[0].t))
     wall0 = time.perf_counter()
     done = 0
     diag = None
@@ -46,7 +47,7 @@ def _time_window(multi, state, params, n_steps, chunk):
         done += chunk
     jax.block_until_ready(state)
     wall = time.perf_counter() - wall0
-    t1 = float(np.asarray(state.t))
+    t1 = float(np.asarray(state[0].t))
     it = np.concatenate([np.asarray(c) for c in iters_chunks])
     vals, counts = np.unique(it, return_counts=True)
     return state, diag, {
@@ -70,6 +71,9 @@ def bench_sweep():
     across lanes instead of padding nz up to 128 (the r1 sweep-throughput
     regression)."""
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
     from openfoam_tpp_tpu.mesh import build_tank_geometry
@@ -179,6 +183,11 @@ def bench_sweep():
 def main():
     import jax
 
+    # Site plugins (the axon TPU tunnel) force jax_platforms at import;
+    # re-assert an explicit JAX_PLATFORMS so CPU smoke runs work.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
     from openfoam_tpp_tpu.core.state import CaseParams, init_state
     from openfoam_tpp_tpu.mesh import build_tank_geometry
@@ -204,23 +213,32 @@ def main():
     n_cells = geom.n_fluid_cells
 
     props = PhysicalProperties()
-    controls = SolverControls(use_pallas=jax.default_backend() == "tpu")
-    step = make_step(geom, props, controls)
+    controls = SolverControls(
+        use_pallas=jax.default_backend() == "tpu",
+        precond_refresh=int(os.environ.get("OFTPP_PRECOND_REFRESH", "1")),
+    )
+    step = make_step(geom, props, controls, carry_precond=True)
     params = CaseParams.make(R=R, freq=freq, duration=20.0)
 
-    def multi_fn(state, params):
-        def body(s, _):
-            s2, d = step(s, params)
-            return s2, d
+    def multi_fn(carry, params):
+        def body(c, _):
+            s, b = c
+            s2, d, b2 = step(s, params, precond=b)
+            return (s2, b2), d
 
-        final, diags = jax.lax.scan(body, state, None, length=chunk)
+        final, diags = jax.lax.scan(body, carry, None, length=chunk)
         last = jax.tree.map(lambda a: a[-1], diags)
         return final, last, diags.p_iters
 
     multi = jax.jit(multi_fn)
+    init_precond = jax.jit(step.init_precond)
+
+    def fresh_carry(s):
+        """(SimState, preconditioner bundle) — the loop carry."""
+        return (s, init_precond(s))
 
     # --- early-transient window (the r1 metric, kept for comparison) ---
-    state = init_state(geom, dt0=1e-3)
+    state = fresh_carry(init_state(geom, dt0=1e-3))
     state, diag, _ = multi(state, params)    # compile + settle dt
     jax.block_until_ready(state)
     for _ in range(2 if small else 4):
@@ -233,14 +251,14 @@ def main():
     tag = "x".join(map(str, geom.shape))
     cache = os.path.join(_CACHE_DIR, f"steady_{tag}_t{t_steady:g}.npz")
     if os.path.exists(cache):
-        state = uio.to_state(uio.load_checkpoint(cache))
+        state = fresh_carry(uio.to_state(uio.load_checkpoint(cache)))
     else:
         wall0 = time.perf_counter()
-        while float(np.asarray(state.t)) < t_steady:
+        while float(np.asarray(state[0].t)) < t_steady:
             state, _, _ = multi(state, params)
         jax.block_until_ready(state)
         warm_wall = time.perf_counter() - wall0
-        np_state = state
+        np_state = state[0]
         uio.save_checkpoint(os.path.dirname(cache) or ".", np_state)
         # save_checkpoint names by time; rename to the cache key.
         t_got = float(np.asarray(np_state.t))

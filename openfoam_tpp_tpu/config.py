@@ -94,3 +94,10 @@ class SolverControls:
                                  # only where ∇μ ≠ 0 (the interface);
                                  # solver/momentum.py
                                  # transpose_viscous_face_field.
+    precond_refresh: int = 1     # rebuild the bf16 MG preconditioner
+                                 # hierarchy every K steps instead of
+                                 # every step (carry_precond driver loops
+                                 # only — solver/poisson.build_operator).
+                                 # Physics-exact for any K (the operator
+                                 # is always fresh); K>1 trades a few CG
+                                 # iterations for the hierarchy build.

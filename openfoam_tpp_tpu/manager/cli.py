@@ -347,6 +347,15 @@ def main_menu(base_dir: str = "."):
 # --------------------------------------------------------------------- main
 
 def main(argv=None):
+    # Honor an explicit JAX_PLATFORMS request: site plugins (the axon TPU
+    # tunnel here) force jax_platforms at import, clobbering the env var —
+    # re-assert it so `JAX_PLATFORMS=cpu python -m openfoam_tpp_tpu`
+    # reliably runs local CPU (e.g. when the TPU tunnel is down).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     ap = argparse.ArgumentParser(
         description="TPU-native sloshing simulation manager"
     )

@@ -49,7 +49,14 @@ def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE,
     step into a fixed on-device buffer returned alongside the state —
     per-timestep probe cadence (functionObject parity; the reference
     samples p every solver dt, /root/reference/circularSloshingTank/
-    system/functions:17-33). Returns (state, diag, n_steps[, samples])."""
+    system/functions:17-33). Returns (state, diag, n_steps[, samples]).
+
+    A step_fn built with `carry_precond=True` (its `init_precond`
+    attribute marks it) threads the bf16 MG preconditioner bundle through
+    the loop carry, refreshing it every controls.precond_refresh steps;
+    one fresh bundle is built per advance call (amortized over the
+    ~write_interval/dt steps the call runs)."""
+    init_precond = getattr(step_fn, "init_precond", None)
 
     def advance(state, params, t_target):
         def cond(carry):
@@ -61,16 +68,25 @@ def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE,
             s, _, n = carry[:3]
             # t_stop makes the final step land EXACTLY on t_target
             # (adjustableRunTime parity, controlDict:29-32).
-            s2, d = step_fn(s, params, t_stop=t_target)
+            if init_precond is None:
+                s2, d = step_fn(s, params, t_stop=t_target)
+                bundle = ()
+            else:
+                s2, d, b2 = step_fn(s, params, t_stop=t_target,
+                                    precond=carry[-1])
+                bundle = (b2,)
             if sampler is None:
-                return (s2, d, n + 1)
+                return (s2, d, n + 1) + bundle
             buf = carry[3].at[n].set(sampler(s2))
-            return (s2, d, n + 1, buf)
+            return (s2, d, n + 1, buf) + bundle
 
         init = (state, _zero_diag(), jnp.asarray(0, jnp.int32))
         if sampler is not None:
             init = init + (jnp.zeros((max_steps, sample_width),
                                      jnp.float32),)
+        if init_precond is not None:
+            init = init + (init_precond(state),)
+            return jax.lax.while_loop(cond, body, init)[:-1]
         return jax.lax.while_loop(cond, body, init)
 
     return advance
@@ -213,8 +229,17 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
             # The fused stencil kernels are single-device programs; under
             # GSPMD the dense jnp path (which lowers to collectives) runs.
             controls = dataclasses.replace(controls, use_pallas=True)
+        k_env = os.environ.get("OFTPP_PRECOND_REFRESH")
+        if k_env is not None:
+            controls = dataclasses.replace(controls,
+                                           precond_refresh=int(k_env))
         motion = build_case_motion(params, case_dir) if case_dir else None
-        step = make_step(geom, props, controls, motion=motion)
+        # Single-device runs thread the preconditioner bundle through the
+        # advance loop (make_advance) so precond_refresh can amortize its
+        # construction; the sharded path rebuilds per step (the bundle
+        # carry would need its own shardings declared).
+        step = make_step(geom, props, controls, motion=motion,
+                         carry_precond=(n_dev == 1))
         from openfoam_tpp_tpu.post.probes import make_probe_sampler
 
         sampler, width = make_probe_sampler(

@@ -308,7 +308,9 @@ def _kernel_cheb2_post(theta, c_pp, c_pd,
                        wzl_m, wzl_c, wzl_p, wzh_m, wzh_c, wzh_p,
                        x_out):
     """Degree-2 Chebyshev continuation from the corrected x (the
-    V-cycle's post-smooth) in one pass."""
+    V-cycle's post-smooth) in one pass. `x_out` may be a wider dtype
+    than the inputs (bf16 cycle → f32 CG hand-off): the cast rides the
+    store instead of costing its own HBM pass."""
     s, ny, nz = x_out.shape
     xe = jnp.concatenate(
         [r[...] for r in (x_m2, x_m1, x_c, x_p1, x_p2)], axis=0)  # s+4
@@ -330,7 +332,7 @@ def _kernel_cheb2_post(theta, c_pp, c_pd,
     ax1 = _hat_apply(x1[:s], x1[1 : s + 1], x1[2 : s + 2], w6c, ny, nz)
     d2 = be[1 : s + 1] - ax1
     p2 = c_pp * p1[1 : s + 1] + c_pd * d2
-    x_out[:, :, :] = x1[1 : s + 1] + p2
+    x_out[:, :, :] = (x1[1 : s + 1] + p2).astype(x_out.dtype)
 
 
 def _halo_specs(nx, ny, nz):
@@ -375,9 +377,13 @@ def cheb2_pre_7pt(b, split, lmax, lmin_frac, interpret=False):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("lmax", "lmin_frac", "interpret"))
-def cheb2_post_7pt(x, b, split, lmax, lmin_frac, interpret=False):
-    """cheb2-smooth of Â x = b continuing from x — one pass."""
+                   static_argnames=("lmax", "lmin_frac", "out_dtype",
+                                    "interpret"))
+def cheb2_post_7pt(x, b, split, lmax, lmin_frac, out_dtype=None,
+                   interpret=False):
+    """cheb2-smooth of Â x = b continuing from x — one pass.
+    `out_dtype` widens the result on the store (the V-cycle's bf16→f32
+    hand-off back to CG), replacing a separate astype HBM pass."""
     nx, ny, nz = b.shape
     assert nx % SLAB == 0
     theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
@@ -392,7 +398,7 @@ def cheb2_post_7pt(x, b, split, lmax, lmin_frac, interpret=False):
         grid=(nx // SLAB,),
         in_specs=[m2, m1, blk(), p1, p2, m1, blk(), p1] + w_specs,
         out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+        out_shape=jax.ShapeDtypeStruct(b.shape, out_dtype or b.dtype),
         interpret=interpret,
     )(x, x, x, x, x, b, b, b, *w_args)
 

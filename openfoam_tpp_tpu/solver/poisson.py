@@ -65,7 +65,7 @@ class _Level:
     wy: jax.Array
     wz: jax.Array
     extra: jax.Array   # diagonal-only term (Dirichlet closure / solid identity)
-    diag: jax.Array
+    diag: jax.Array    # None on unit-diagonal levels (never read there)
     shape: tuple
     split: tuple | None = None  # pre-split cell-shaped neighbor weights —
                                 # set when the fused Pallas kernel serves
@@ -74,6 +74,11 @@ class _Level:
                                 # operator Â): skip the diag HBM read in
                                 # every apply/residual and the b/diag
                                 # divides in the smoother entries
+    dtype: object = None        # element dtype (falls back to diag.dtype)
+
+    @property
+    def eltype(self):
+        return self.dtype if self.dtype is not None else self.diag.dtype
 
 
 @dataclasses.dataclass
@@ -200,14 +205,17 @@ def _smooth_pre_resid(level: _Level, b):
     return x, r
 
 
-def _smooth_post(level: _Level, x, b):
-    """Exit smoothing continuing from the corrected x."""
+def _smooth_post(level: _Level, x, b, out_dtype=None):
+    """Exit smoothing continuing from the corrected x. `out_dtype`
+    widens the result on the kernel's store (bf16 cycle → f32 CG
+    hand-off) instead of paying a separate astype pass."""
     if _fused_cheb2(level):
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
         return sp.cheb2_post_7pt(x, b, level.split, _CHEB_LMAX,
-                                 _CHEB_LMIN_FRAC)
-    return _smooth(level, x, b, _SMOOTH_SWEEPS)
+                                 _CHEB_LMIN_FRAC, out_dtype=out_dtype)
+    x = _smooth(level, x, b, _SMOOTH_SWEEPS)
+    return x if out_dtype is None else x.astype(out_dtype)
 
 
 def _pad_axis_even(a, axis):
@@ -264,10 +272,26 @@ def _coarsen_face_weights(w, axis):
     return w
 
 
-def _build_levels(wx, wy, wz, extra, max_levels=10, min_cells=256):
+def _build_coarse_levels(wx, wy, wz, extra, max_coarse=9, min_cells=256):
+    """PHYSICAL Galerkin hierarchy strictly BELOW the given fine level.
+
+    The fine level itself is never smoothed on (the hybrid V-cycle
+    smooths the SCALED top instead — _vcycle_hybrid), so its diag /
+    kernel-split construction was pure per-step HBM waste; only its face
+    weights are consumed, as the coarsening source. Returns [] for grids
+    already at the coarsest size."""
     levels = []
     shape = extra.shape
-    while True:
+    while (
+        len(levels) < max_coarse
+        and shape[0] * shape[1] * shape[2] > min_cells
+        and min(shape) > 2
+    ):
+        wx = _coarsen_face_weights(wx, 0)
+        wy = _coarsen_face_weights(wy, 1)
+        wz = _coarsen_face_weights(wz, 2)
+        extra = _restrict_cells(extra)
+        shape = extra.shape
         diag = (
             wx[:-1] + wx[1:] + wy[:, :-1] + wy[:, 1:]
             + wz[:, :, :-1] + wz[:, :, 1:] + extra
@@ -275,18 +299,6 @@ def _build_levels(wx, wy, wz, extra, max_levels=10, min_cells=256):
         diag = jnp.where(diag > 0, diag, 1.0)
         levels.append(_Level(wx=wx, wy=wy, wz=wz, extra=extra, diag=diag,
                              shape=shape))
-        n_cells = shape[0] * shape[1] * shape[2]
-        if (
-            len(levels) >= max_levels
-            or n_cells <= min_cells
-            or min(shape) <= 2
-        ):
-            break
-        wx = _coarsen_face_weights(wx, 0)
-        wy = _coarsen_face_weights(wy, 1)
-        wz = _coarsen_face_weights(wz, 2)
-        extra = _restrict_cells(extra)
-        shape = extra.shape
     return levels
 
 
@@ -307,7 +319,7 @@ def _vcycle(levels, li, b):
     return x
 
 
-def _vcycle_hybrid(top_hat, inv_s, levels_phys, b):
+def _vcycle_hybrid(top_hat, inv_s, levels_coarse, b, out_dtype=None):
     """V-cycle on the SCALED top level with coarse correction on the
     PHYSICAL Galerkin hierarchy.
 
@@ -328,16 +340,16 @@ def _vcycle_hybrid(top_hat, inv_s, levels_phys, b):
             # — one fused kernel pass instead of apply + subtract.
             r = (_resid_scaled(top_hat, x, b) if top_hat.unit_diag
                  else b - _weights_apply(top_hat, x))
-        if len(levels_phys) > 1:
+        if levels_coarse:
             rc = _restrict_cells(inv_s * r)
-            ec = _vcycle(levels_phys, 1, rc)
+            ec = _vcycle(levels_coarse, 0, rc)
             x = x + inv_s * _prolong_cells(ec, top_hat.shape)
         else:
             # No coarse grid (tiny problems): extra smoothing on the
             # residual.
             x = x + _jacobi(top_hat, None, r, _COARSEST_SWEEPS)
             break
-    x = _smooth_post(top_hat, x, b)
+    x = _smooth_post(top_hat, x, b, out_dtype)
     return x
 
 
@@ -348,18 +360,22 @@ _PRECOND_DTYPE = (jnp.float32 if _os.environ.get("OFTPP_PRECOND_F32") == "1"
 # is ~60% of the pressure-solve HBM traffic — bf16 halves it.
 
 
-def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
-    """Construct operator + MG preconditioner for the current density.
+def build_operator(geom_arrays, spacing, rho, top_open, use_pallas=False):
+    """Construct the OPERATOR half of the pressure problem — everything
+    that must be fresh every step because it defines the equations: the
+    physical A, the diagonally-scaled Â (scaling folded into the face
+    weights), the scaling vectors, and the face 1/ρ interpolants.
+
+    Returns (problem, pack). The problem has no preconditioner attached
+    yet (attach_precond); `pack` is the dict of f32 ingredients
+    make_bundle turns into the bf16 V-cycle hierarchy. Splitting the two
+    lets the time stepper refresh the (physics-neutral) preconditioner
+    every K steps instead of every step (SolverControls.precond_refresh)
+    while the operator tracks ρ exactly.
 
     `use_pallas`: evaluate the stencil operators with the fused Pallas
     kernel (ops/pallas/seven_point.py) when the grid shape supports it —
-    TPU single-device paths only.
-
-    Built once per solver step (ρ moves). Construction is kept lean:
-    only the TOP level exists in f32 (physical + scaled); the MG
-    hierarchy is coarsened directly in bf16 (it is only ever used as the
-    bf16 preconditioner — f32 coarse levels were pure construction
-    traffic)."""
+    TPU single-device paths only."""
     hx, hy, hz = spacing
     vfrac = geom_arrays["vfrac"]
     fluid = vfrac > 0.0
@@ -401,7 +417,7 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
             return level
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        if not sp.supported(level.shape, level.diag.dtype):
+        if not sp.supported(level.shape, level.eltype):
             return level
         return dataclasses.replace(
             level, split=sp.split_weights(level.wx, level.wy, level.wz)
@@ -424,30 +440,12 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
     hwx = wx * sl_x * sr_x
     hwy = wy * sl_y * sr_y
     hwz = wz * sl_z * sr_z
-    diag_hat = jnp.ones(shape, wx.dtype)
-    extra_hat = diag_hat - (
-        hwx[:-1] + hwx[1:] + hwy[:, :-1] + hwy[:, 1:]
-        + hwz[:, :, :-1] + hwz[:, :, 1:]
-    )
-    top_hat = _with_kernel(_Level(wx=hwx, wy=hwy, wz=hwz, extra=extra_hat,
-                                  diag=diag_hat, shape=shape,
-                                  unit_diag=True))
-
-    # bf16 preconditioner: scaled TOP level (smoothing needs no diagonal
-    # scaling passes) + PHYSICAL Galerkin coarse hierarchy (keeps the
-    # interface β-jump structure the coarse correction relies on — see
-    # _vcycle_hybrid), all coarsened directly in bf16 (f32 coarse levels
-    # were pure construction traffic; bf16 rounding is below the
-    # preconditioner's own approximation error).
-    lp = _PRECOND_DTYPE
-    top_hat16 = _with_kernel(
-        _Level(wx=hwx.astype(lp), wy=hwy.astype(lp), wz=hwz.astype(lp),
-               extra=extra_hat.astype(lp),
-               diag=jnp.ones(shape, lp), shape=shape, unit_diag=True))
-    levels_phys16 = _build_levels(wx.astype(lp), wy.astype(lp),
-                                  wz.astype(lp), extra.astype(lp))
-    levels_phys16 = [_with_kernel(l) for l in levels_phys16]
-    inv_s16 = inv_s.astype(lp)
+    # Â is unit-diagonal by construction: nothing in the apply/smoother
+    # paths ever reads a diag (or the complementary `extra`) for it, so
+    # neither array is materialized.
+    top_hat = _with_kernel(_Level(wx=hwx, wy=hwy, wz=hwz, extra=None,
+                                  diag=None, shape=shape, unit_diag=True,
+                                  dtype=hwx.dtype))
 
     def apply(p):
         return _weights_apply(top, p)
@@ -462,21 +460,104 @@ def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
         def apply_dot_hat(p):
             return sp.apply_dot_7pt(p, top_hat.split)
 
+    problem = PoissonProblem(
+        apply=apply, precond=None, diag=diag0, fluid=fluid,
+        singular=bool(singular), beta_faces=(bx, by, bz), c_top=c_top,
+        levels=[top],
+        scale=s, inv_scale=inv_s, apply_hat=apply_hat,
+        precond_hat=None, apply_dot_hat=apply_dot_hat,
+    )
+    pack = {"wx": wx, "wy": wy, "wz": wz, "extra": extra,
+            "hwx": hwx, "hwy": hwy, "hwz": hwz, "inv_s": inv_s}
+    return problem, pack
+
+
+def _bundle_entry(wx, wy, wz, shape, dtype, use_pallas, diag=None):
+    """One hierarchy level as a dict of arrays: kernel-split cell weights
+    when the fused Pallas kernels serve this (shape, dtype), face weights
+    otherwise. `diag=None` = unit-diagonal level."""
+    d = {}
+    if diag is not None:
+        d["diag"] = diag
+    if use_pallas:
+        from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+
+        if sp.supported(shape, dtype):
+            d["split"] = sp.split_weights(wx, wy, wz)
+            return d
+    d["faces"] = (wx, wy, wz)
+    return d
+
+
+def make_bundle(pack, use_pallas=False):
+    """The bf16 V-cycle preconditioner state as a pytree of arrays.
+
+    A pure function of `pack` (build_operator), carryable through a
+    lax.while_loop and refreshable under lax.cond: scaled TOP level
+    (smoothing needs no diagonal scaling passes) + PHYSICAL Galerkin
+    coarse hierarchy (keeps the interface β-jump structure the coarse
+    correction relies on — see _vcycle_hybrid), coarsened directly in
+    bf16 (f32 coarse levels were pure construction traffic; bf16
+    rounding is below the preconditioner's own approximation error).
+
+    Refreshing this every K steps instead of every step is physics-exact
+    — it is ONLY the preconditioner (any fixed symmetric M works inside
+    CG); the operator itself always tracks the current ρ."""
+    lp = _PRECOND_DTYPE
+    shape = pack["inv_s"].shape
+    top = _bundle_entry(pack["hwx"].astype(lp), pack["hwy"].astype(lp),
+                        pack["hwz"].astype(lp), shape, lp, use_pallas)
+    coarse = []
+    for lev in _build_coarse_levels(pack["wx"].astype(lp),
+                                    pack["wy"].astype(lp),
+                                    pack["wz"].astype(lp),
+                                    pack["extra"].astype(lp)):
+        coarse.append(_bundle_entry(lev.wx, lev.wy, lev.wz, lev.shape, lp,
+                                    use_pallas, diag=lev.diag))
+    return {"top": top, "coarse": coarse, "inv_s": pack["inv_s"].astype(lp)}
+
+
+def _level_from_entry(d, unit_diag):
+    split = d.get("split")
+    if split is not None:
+        shape = split[0].shape
+        return _Level(wx=None, wy=None, wz=None, extra=None,
+                      diag=d.get("diag"), shape=shape, split=split,
+                      unit_diag=unit_diag, dtype=split[0].dtype)
+    wx, wy, wz = d["faces"]
+    shape = (wx.shape[0] - 1,) + wx.shape[1:]
+    return _Level(wx=wx, wy=wy, wz=wz, extra=None, diag=d.get("diag"),
+                  shape=shape, unit_diag=unit_diag, dtype=wx.dtype)
+
+
+def attach_precond(problem: PoissonProblem, bundle) -> PoissonProblem:
+    """Wire a make_bundle pytree into the problem's precond closures."""
+    top16 = _level_from_entry(bundle["top"], unit_diag=True)
+    coarse16 = [_level_from_entry(d, unit_diag=False)
+                for d in bundle["coarse"]]
+    inv_s16 = bundle["inv_s"]
+    lp = inv_s16.dtype
+    s = problem.scale
+
     def precond_hat(r):
-        return _vcycle_hybrid(top_hat16, inv_s16, levels_phys16,
-                              r.astype(lp)).astype(r.dtype)
+        return _vcycle_hybrid(top16, inv_s16, coarse16, r.astype(lp),
+                              out_dtype=r.dtype)
 
     def precond(r):
         # Physical-space M⁻¹ ≈ A⁻¹ = S Â⁻¹ S (API/diagnostic use).
         return s * precond_hat(s * r)
 
-    return PoissonProblem(
-        apply=apply, precond=precond, diag=diag0, fluid=fluid,
-        singular=bool(singular), beta_faces=(bx, by, bz), c_top=c_top,
-        levels=[top],
-        scale=s, inv_scale=inv_s, apply_hat=apply_hat,
-        precond_hat=precond_hat, apply_dot_hat=apply_dot_hat,
-    )
+    return dataclasses.replace(problem, precond=precond,
+                               precond_hat=precond_hat)
+
+
+def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
+    """Operator + MG preconditioner for the current density, in one call
+    (the everything-fresh path; the time stepper uses the split API to
+    amortize make_bundle across steps)."""
+    problem, pack = build_operator(geom_arrays, spacing, rho, top_open,
+                                   use_pallas=use_pallas)
+    return attach_precond(problem, make_bundle(pack, use_pallas=use_pallas))
 
 
 def _dot(a, b):
@@ -588,14 +669,13 @@ def solve_pcg(
         def precond_h(r):
             return inv_s * jnp.where(fluid, precond(inv_s * r), 0.0)
     else:
-        # The built-in V-cycle already lives in the scaled space. The
-        # fluid mask keeps prolongation bleed out of solid cells (which
-        # would otherwise re-enter Â as identity rows and pollute the
-        # residual norm).
-        ph = problem.precond_hat
-
-        def precond_h(r):
-            return jnp.where(fluid, ph(r), 0.0)
+        # The built-in V-cycle already lives in the scaled space and
+        # PRESERVES solid zeros exactly, so no masking pass is needed:
+        # Â's solid rows are identity with zero couplings (smoothing of a
+        # solid-zero r stays zero in any dtype), and the coarse
+        # correction enters through inv_s ⊙ (…), with inv_s ≡ 0 on solid
+        # — prolongation bleed is annihilated before it can re-enter.
+        precond_h = problem.precond_hat
 
     # Nullspace of Â for closed tanks: A·1 = 0  ⇒  Â·(D^½ 1) = 0.
     nullv = inv_s if problem.singular else None

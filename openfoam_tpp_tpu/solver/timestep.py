@@ -64,6 +64,7 @@ def make_step_core(
     face_xyz=None,
     forcing=None,
     sync_axis: str | None = None,
+    carry_precond: bool = False,
 ):
     """Build the geometry-generic step:
     `step(state, params, ga, spacing, t_stop) -> (state', diag)`.
@@ -74,6 +75,14 @@ def make_step_core(
     yields geometry-batched (H, D, geo) sweeps (the reference's Cartesian
     sweep engine, /root/reference/main.py:504-534). `make_step` wraps it
     with a fixed geometry closed over (constant-folded by XLA).
+
+    `carry_precond=True` changes the signature to
+    `step(state, params, ga, spacing, t_stop, precond) ->
+    (state', diag, precond')`: the bf16 MG preconditioner bundle
+    (poisson.make_bundle — physics-neutral, see build_operator) is taken
+    from the caller's loop carry and refreshed only every
+    `controls.precond_refresh` steps, amortizing its construction cost.
+    The operator itself is rebuilt from the current ρ every step.
     """
     rot_enabled = motion is not None and motion.has_rotation
     if rot_enabled and face_xyz is None:
@@ -118,7 +127,7 @@ def make_step_core(
         return co, co_a * (1.0 + controls.c_alpha)
 
     def step(state: SimState, params, ga, spacing,
-             t_stop=None) -> tuple[SimState, StepDiagnostics]:
+             t_stop=None, precond=None):
         hx, hy, hz = spacing
         fluid = ga["vfrac"] > 0.0
         masks = (ga["ax"] > 0.0, ga["ay"] > 0.0, ga["az"] > 0.0)
@@ -178,10 +187,31 @@ def make_step_core(
 
         # --- Poisson operator for the new density (also supplies the
         #     face 1/ρ interpolants shared by forces & correction) ---
-        prob = poisson.build_poisson(
+        prob, pack = poisson.build_operator(
             ga, spacing, rho_new, ga["top_open"] if open_top else None,
             use_pallas=controls.use_pallas,
         )
+        if carry_precond and precond is not None:
+            # Amortized refresh: the bundle is ONLY a preconditioner (any
+            # fixed symmetric M is valid inside CG), so reusing a K-step-
+            # stale hierarchy is physics-exact — it just smooths with the
+            # interface where it was up to K steps ago (≤ K/2 cells away
+            # at maxAlphaCo 0.5).
+            K = max(int(controls.precond_refresh), 1)
+            if K <= 1:
+                bundle = poisson.make_bundle(
+                    pack, use_pallas=controls.use_pallas)
+            else:
+                bundle = jax.lax.cond(
+                    state.step % K == 0,
+                    lambda: poisson.make_bundle(
+                        pack, use_pallas=controls.use_pallas),
+                    lambda: precond,
+                )
+        else:
+            bundle = poisson.make_bundle(pack,
+                                         use_pallas=controls.use_pallas)
+        prob = poisson.attach_precond(prob, bundle)
         beta_f = prob.beta_faces
 
         # --- explicit conservative momentum (no pressure, no gravity) ---
@@ -302,9 +332,50 @@ def make_step_core(
             alpha_min=jnp.min(jnp.where(fluid, alpha_new, 0.0)),
             alpha_max=jnp.max(alpha_new),
         )
+        if carry_precond:
+            return new_state, diag, bundle
         return new_state, diag
 
     return step
+
+
+_WARNED_UNFUSED = False
+
+
+def _warn_if_unfused_on_tpu(shape, dtype):
+    """One-time nudge when a kernel-eligible grid is built for a TPU
+    backend without the fused Pallas stencils. The manager and bench
+    sniff the backend and enable them (manager/runner.py); library
+    callers of make_step otherwise get the ~1.5x-slower jnp path
+    silently. Never forces backend init (a hint isn't worth waking a
+    remote TPU tunnel)."""
+    global _WARNED_UNFUSED
+    if _WARNED_UNFUSED:
+        return
+    try:
+        from jax._src import xla_bridge as _xb
+
+        if not _xb.backends_are_initialized():
+            return
+        if jax.default_backend() != "tpu":
+            return
+        from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+
+        if not sp.supported(tuple(shape), dtype):
+            return
+    except Exception:
+        return
+    _WARNED_UNFUSED = True
+    import warnings
+
+    warnings.warn(
+        "make_step on a TPU backend with use_pallas=False: this grid "
+        "shape supports the fused Pallas stencil kernels (~1.5x step "
+        "throughput). Pass SolverControls(use_pallas=True) unless the "
+        "step runs under GSPMD sharding (the kernels are single-device "
+        "programs).",
+        stacklevel=3,
+    )
 
 
 def make_step(
@@ -313,6 +384,7 @@ def make_step(
     controls: SolverControls = SolverControls(),
     motion: mo.TableMotion | None = None,
     dtype=jnp.float32,
+    carry_precond: bool = False,
 ):
     """Build the jit-able step function for a fixed geometry.
 
@@ -321,7 +393,13 @@ def make_step(
     translation (sloshingTank3D6DoF family). Geometry arrays are closed
     over (XLA constant-folds them); use `make_step_core` directly for
     geometry-batched sweeps.
+
+    `carry_precond=True`: step takes/returns the preconditioner bundle
+    (see make_step_core) and gains an `init_precond(state)` attribute
+    that builds the initial bundle for a driver loop's carry.
     """
+    if not controls.use_pallas:
+        _warn_if_unfused_on_tpu(geom.shape, dtype)
     ga = geometry_arrays(geom, dtype)
     spacing = tuple(float(s) for s in geom.spacing)
     open_top = bool(np.any(geom.top_open > 0))
@@ -331,7 +409,23 @@ def make_step(
         if rot_enabled else None
     )
     core = make_step_core(props, controls, motion=motion, open_top=open_top,
-                          face_xyz=face_xyz)
+                          face_xyz=face_xyz, carry_precond=carry_precond)
+
+    if carry_precond:
+        def step(state: SimState, params, t_stop=None, precond=None):
+            return core(state, params, ga, spacing, t_stop=t_stop,
+                        precond=precond)
+
+        def init_precond(state: SimState):
+            rho = mixture_density(state.alpha, props)
+            _, pack = poisson.build_operator(
+                ga, spacing, rho, ga["top_open"] if open_top else None,
+                use_pallas=controls.use_pallas)
+            return poisson.make_bundle(pack,
+                                       use_pallas=controls.use_pallas)
+
+        step.init_precond = init_precond
+        return step
 
     def step(state: SimState, params, t_stop=None):
         return core(state, params, ga, spacing, t_stop=t_stop)

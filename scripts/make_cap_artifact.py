@@ -31,6 +31,11 @@ ROW = {
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        # Site plugins (axon tunnel) clobber jax_platforms at import.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from openfoam_tpp_tpu.manager.cases import setup_case
     from openfoam_tpp_tpu.manager.cli import action_interface
     from openfoam_tpp_tpu.manager.runner import run_case

@@ -130,6 +130,14 @@ def test_fused_cheb2_smoother_parity():
     assert np.abs(np.asarray(x16b, np.float32)
                   - np.asarray(ref_x2)).max() / s2 < 0.05
 
+    # Widened store (out_dtype): bf16 compute, f32 result in the same
+    # pass — the production V-cycle → CG hand-off.
+    x16f = sp.cheb2_post_7pt(x16, b16, split16, lmax, lmin_frac,
+                             out_dtype=jnp.float32, interpret=True)
+    assert x16f.dtype == jnp.float32
+    assert np.abs(np.asarray(x16f)
+                  - np.asarray(ref_x2)).max() / s2 < 0.05
+
 
 def test_unit_diag_and_fused_apply_dot():
     """Unit-diagonal kernels (the scaled operator Â) and the fused
