@@ -75,6 +75,20 @@ class SolverControls:
                                  # at 2x fewer CG iterations; 1e-2 degrades
                                  # div(phi) by 60x — do not loosen further.
     p_tol_abs: float = 1e-8      # fvSolution:46   p_rgh tolerance (scaled)
+    p_tol_rel_b: float = 0.0     # OpenFOAM-normFactor-style criterion:
+                                 # additionally stop when the scaled
+                                 # residual falls below this fraction of
+                                 # ||b̂|| (the RHS scale). The reference's
+                                 # GAMG/PCG tolerances are ABSOLUTE on the
+                                 # normFactor-normalized residual
+                                 # (fvSolution:46), so its warm-started
+                                 # steady-state solves stop early; the
+                                 # pure r0-relative criterion instead
+                                 # demands a fixed 1e3 reduction even when
+                                 # the warm start is already at the f32
+                                 # representation floor. 0 = off (legacy
+                                 # criterion only); see
+                                 # scripts/tol_criterion_study.py.
     p_max_iters: int = 50
     write_interval: float = 0.05  # controlDict:32 writeInterval
     use_pallas: bool = False     # fused TPU stencil kernels for the CG

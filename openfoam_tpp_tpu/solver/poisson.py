@@ -713,6 +713,7 @@ def solve_pcg(
     precond: Callable | None = None,
     tol_rel: float = 1e-4,
     tol_abs: float = 0.0,
+    tol_rel_b: float = 0.0,
     max_iters: int = 60,
     n_refine: int = 3,
 ):
@@ -779,6 +780,14 @@ def solve_pcg(
 
     r = true_residual(xh)
     tol = jnp.maximum(tol_rel * jnp.sqrt(_dot(r, r)), tol_abs)
+    if isinstance(tol_rel_b, jax.Array) or tol_rel_b > 0.0:
+        # OpenFOAM-parity criterion (fvSolution `tolerance`): absolute on
+        # the RHS-scale-normalized residual. Keeping BOTH terms in a max
+        # means violent transients (r0 ~ ||b||) are unaffected while
+        # warm-started steady solves stop once the residual is this
+        # fraction of the problem scale instead of paying a fixed 1e3
+        # reduction below an already-converged start.
+        tol = jnp.maximum(tol, tol_rel_b * jnp.sqrt(_dot(bh, bh)))
 
     # Iterative refinement exists only to defeat the f32 recurrence floor
     # (~_F32_CG_FLOOR relative). At production tolerances the floor never

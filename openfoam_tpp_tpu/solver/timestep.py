@@ -283,6 +283,7 @@ def make_step_core(
                 prob, b, p_new if _corr == 0 else jnp.zeros_like(p_new),
                 tol_rel=controls.p_tol_rel,
                 tol_abs=controls.p_tol_abs,
+                tol_rel_b=controls.p_tol_rel_b,
                 max_iters=controls.p_max_iters,
             )
             p_new = dp if _corr == 0 else p_new + dp

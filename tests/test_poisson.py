@@ -120,3 +120,43 @@ def test_cold_random_rhs_two_phase_no_breakdown():
     assert float(res) < 1e-3 * r0, (float(res), r0)
     assert int(iters) < 120
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_b_normalized_stopping_criterion():
+    """OpenFOAM-normFactor-parity criterion (SolverControls.p_tol_rel_b):
+    a warm start that is already within tol_rel_b * ||b_hat|| of the
+    solution must terminate (near-)immediately, while the legacy
+    r0-relative criterion burns a full 1e3-reduction's worth of
+    iterations solving noise. Accuracy contract: the returned residual
+    still satisfies the requested bound."""
+    geom = build_tank_geometry(0.1, 0.02, 0.002, geo="flat")
+    ga, spacing, rho, top = _setup(geom)
+    prob = poisson.build_poisson(ga, spacing, rho, top)
+    p_true = jnp.where(
+        prob.fluid, jax.random.normal(jax.random.PRNGKey(7), rho.shape), 0.0
+    )
+    b = prob.apply(p_true)
+
+    # Warm start within ~1e-4 (relative) of the exact solution.
+    x0 = p_true * (1.0 + 1e-4)
+
+    solve = jax.jit(
+        lambda rel_b: poisson.solve_pcg(
+            prob, b, x0, tol_rel=1e-3, tol_rel_b=rel_b, max_iters=50
+        )
+    )
+    x_legacy, res_legacy, it_legacy = solve(0.0)
+    x_of, res_of, it_of = solve(1e-3)
+
+    s = np.where(np.asarray(prob.fluid),
+                 1.0 / np.sqrt(np.asarray(prob.diag)), 0.0)
+    b_hat = float(np.linalg.norm(s * np.asarray(b)))
+
+    # The ||b||-criterion must stop early (warm start already below the
+    # bound) and still satisfy it; legacy must burn strictly more iters.
+    assert float(res_of) <= 1e-3 * b_hat
+    assert int(it_of) <= 2, int(it_of)
+    assert int(it_legacy) > int(it_of)
+    # Both answers agree with the truth to their advertised accuracy.
+    err = np.max(np.abs(np.asarray(x_of - p_true)))
+    assert err < 5e-3 * float(np.max(np.abs(np.asarray(p_true))))
