@@ -21,6 +21,8 @@ momentum transport (interFoam's rhoPhi; critical at density ratio 1000:1).
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -102,32 +104,43 @@ def _div(fluxes, spacing):
     return st.divergence(fluxes[0], fluxes[1], fluxes[2], spacing)
 
 
-def _fct_limiter(alpha_n, alpha_low, antis, dt, spacing, inv_vol, fluid,
+def _fct_limited(alpha_n, alpha_low, antis, dt, spacing, inv_vol, fluid,
                  n_iters, use_pallas=False):
-    """Iterative Zalesak limiter: returns per-face multipliers λ in [0,1]."""
+    """Iterative Zalesak limiter: returns the LIMITED antidiffusive
+    fluxes λ·anti (face layout) after `n_iters` iterations."""
     hx, hy, hz = spacing
 
     amax = jnp.minimum(1.0, _neighbor_max(jnp.maximum(alpha_n, alpha_low)))
     amin = jnp.maximum(0.0, _neighbor_min(jnp.minimum(alpha_n, alpha_low)))
 
     if use_pallas:
-        # Fused single-pass limiter iteration (ops/pallas/mules_fct.py):
-        # face arrays cross into the kernel's cell (lower-face) layout —
-        # the dropped global upper-boundary faces are identically zero.
+        # Fused limiter kernels (ops/pallas/mules_fct.py): face arrays
+        # cross into the kernel's cell (lower-face) layout — the dropped
+        # global upper-boundary faces are identically zero.
         from openfoam_tpp_tpu.ops.pallas import mules_fct as mf
 
         dt_iv = dt * inv_vol
-        lams = tuple(jnp.zeros_like(alpha_low) for _ in range(3))
         cell_antis = (antis[0][:-1], antis[1][:, :-1], antis[2][:, :, :-1])
-        for _ in range(n_iters):
-            lams = mf.fct_iter(lams, cell_antis, alpha_low, amax, amin,
-                               dt_iv, spacing)
-        zx = jnp.zeros_like(lams[0][:1])
-        zy = jnp.zeros_like(lams[1][:, :1])
-        zz = jnp.zeros_like(lams[2][:, :, :1])
-        return (jnp.concatenate([lams[0], zx], 0),
-                jnp.concatenate([lams[1], zy], 1),
-                jnp.concatenate([lams[2], zz], 2))
+        if (_os.environ.get("OFTPP_FCT_RESIDENT", "0") == "1"
+                and mf.resident_supported(alpha_low.shape, n_iters,
+                                          alpha_low.dtype)):
+            # All iterations resident in one pass; outputs are the
+            # limited fluxes directly (λ0 = 0 ⇒ the kernel carries
+            # applied/remaining flux pairs instead of λ).
+            lim = mf.fct_limited(cell_antis, alpha_low, amax, amin,
+                                 dt_iv, spacing, n_iters=n_iters)
+        else:
+            lams = tuple(jnp.zeros_like(alpha_low) for _ in range(3))
+            for _ in range(n_iters):
+                lams = mf.fct_iter(lams, cell_antis, alpha_low, amax,
+                                   amin, dt_iv, spacing)
+            lim = tuple(l * a for l, a in zip(lams, cell_antis))
+        zx = jnp.zeros_like(lim[0][:1])
+        zy = jnp.zeros_like(lim[1][:, :1])
+        zz = jnp.zeros_like(lim[2][:, :, :1])
+        return (jnp.concatenate([lim[0], zx], 0),
+                jnp.concatenate([lim[1], zy], 1),
+                jnp.concatenate([lim[2], zz], 2))
 
     lam = [jnp.zeros_like(a) for a in antis]
 
@@ -164,7 +177,7 @@ def _fct_limiter(alpha_n, alpha_low, antis, dt, spacing, inv_vol, fluid,
         return tuple(new_lam)
 
     lam = jax.lax.fori_loop(0, n_iters, body, tuple(lam))
-    return lam
+    return tuple(l * a for l, a in zip(lam, antis))
 
 
 def advect_alpha(
@@ -232,9 +245,9 @@ def advect_alpha(
         antis[2] = antis[2].at[:, :, -1].set(0.0)
 
         a_low = a - dt_sub * inv_vol * _div(lows, spacing)
-        lam = _fct_limiter(a, a_low, antis, dt_sub, spacing, inv_vol, fluid,
-                           n_limiter_iters, use_pallas=use_pallas)
-        limited = tuple(lams * ant for lams, ant in zip(lam, antis))
+        limited = _fct_limited(a, a_low, antis, dt_sub, spacing, inv_vol,
+                               fluid, n_limiter_iters,
+                               use_pallas=use_pallas)
         a_new = a_low - dt_sub * inv_vol * _div(limited, spacing)
         a_new = jnp.where(fluid, jnp.clip(a_new, 0.0, 1.0), 0.0)
         flux_acc = tuple(

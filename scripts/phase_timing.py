@@ -103,10 +103,10 @@ def run_limiter(alpha, phi, dt):
     u_cs = mules.compression_fluxes(alpha, phi, apertures, spacing, 1.0)
     lows, antis = mules._face_fluxes(alpha, phi, u_cs)
     a_low = alpha - dt / 3.0 * inv_vol * mules._div(list(lows), spacing)
-    lam = mules._fct_limiter(alpha, a_low, list(antis), dt / 3.0, spacing,
+    lim = mules._fct_limited(alpha, a_low, list(antis), dt / 3.0, spacing,
                              inv_vol, fluid, 3,
                              use_pallas=controls.use_pallas)
-    return lam
+    return lim
 
 
 @jax.jit

@@ -50,8 +50,10 @@ def test_fct_iter_matches_jnp_limiter():
     antis[2] = antis[2].at[:, :, -1].set(0.0)
     a_low = alpha - dt * inv_vol * mules._div(lows, spacing)
 
+    cell_antis = (antis[0][:-1], antis[1][:, :-1], antis[2][:, :, :-1])
     for n_iters in (1, 3):
-        ref = mules._fct_limiter(alpha, a_low, antis, dt, spacing, inv_vol,
+        # jnp reference: LIMITED fluxes (face layout).
+        ref = mules._fct_limited(alpha, a_low, antis, dt, spacing, inv_vol,
                                  fluid, n_iters)
 
         amax = jnp.minimum(
@@ -59,25 +61,30 @@ def test_fct_iter_matches_jnp_limiter():
         amin = jnp.maximum(
             0.0, mules._neighbor_min(jnp.minimum(alpha, a_low)))
         dt_iv = dt * inv_vol
+
+        # Per-iteration kernel: λ, multiplied onto the antis.
         lams = tuple(jnp.zeros_like(a_low) for _ in range(3))
-        cell_antis = (antis[0][:-1], antis[1][:, :-1], antis[2][:, :, :-1])
         for _ in range(n_iters):
             lams = mf.fct_iter(lams, cell_antis, a_low, amax, amin, dt_iv,
                                spacing, interpret=True)
+        lim_iter = tuple(l * a for l, a in zip(lams, cell_antis))
 
-        for ax, (lam_k, lam_r) in enumerate(zip(lams, ref)):
-            r = np.asarray(lam_r)
-            k = np.asarray(lam_k)
-            # Compare on the stored (lower) faces; kernel's implicit
-            # upper-boundary faces correspond to zero-antis faces.
-            r_cell = [r[:-1], r[:, :-1], r[:, :, :-1]][ax]
-            # λ only matters where the antidiffusive flux is nonzero.
-            mask = np.abs(np.asarray(
-                [antis[0][:-1], antis[1][:, :-1],
-                 antis[2][:, :, :-1]][ax])) > 1e-12
-            diff = np.abs(k - r_cell)[mask]
-            assert diff.size == 0 or diff.max() < 1e-5, (
-                ax, n_iters, float(diff.max()))
+        # Resident all-iterations kernel: limited fluxes directly.
+        lim_res = mf.fct_limited(cell_antis, a_low, amax, amin, dt_iv,
+                                 spacing, n_iters=n_iters, interpret=True)
+
+        for name, lims in (("iter", lim_iter), ("resident", lim_res)):
+            for ax in range(3):
+                r = np.asarray(ref[ax])
+                # Compare on the stored (lower) faces; the kernels'
+                # implicit upper-boundary faces are zero-antis faces.
+                r_cell = [r[:-1], r[:, :-1], r[:, :, :-1]][ax]
+                k = np.asarray(lims[ax])
+                anti = np.abs(np.asarray(cell_antis[ax]))
+                diff = np.abs(k - r_cell)
+                bad = diff > 1e-5 * anti + 1e-12
+                assert not bad.any(), (
+                    name, ax, n_iters, float(diff.max()))
 
 
 def test_flux_all_matches_jnp_fluxes():
@@ -181,6 +188,43 @@ def test_advect_alpha_pallas_path_matches():
         d = np.abs(np.asarray(rp_pal[ax]) - np.asarray(rp_ref[ax])).max()
         assert d < 1e-2, (ax, d)  # rho-weighted flux: rho1 ~ 1000
     # Boundedness preserved.
+    fluid = np.asarray(ga["vfrac"]) > 0
+    ap = np.asarray(a_pal)
+    assert ap[fluid].min() >= 0.0 and ap[fluid].max() <= 1.0 + 1e-6
+
+
+def test_advect_alpha_resident_limiter_matches(monkeypatch):
+    """Full advect_alpha with the RESIDENT all-iterations limiter kernel
+    (OFTPP_FCT_RESIDENT=1) vs the jnp path: identical update, bounds
+    preserved."""
+    geom, ga, spacing, alpha, phi = _setup()
+    props = PhysicalProperties()
+
+    a_ref, rp_ref, _ = mules.advect_alpha(
+        alpha, phi, ga, spacing, 2e-4, props.rho1, props.rho2)
+
+    import unittest.mock as mock
+
+    orig = mf.fct_limited
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setenv("OFTPP_FCT_RESIDENT", "1")
+    with mock.patch.object(mf, "fct_limited", interp), \
+            mock.patch.object(mf, "supported", lambda *a, **k: True), \
+            mock.patch.object(mf, "resident_supported",
+                              lambda *a, **k: True), \
+            mock.patch.object(mfx, "supported", lambda *a, **k: False):
+        a_pal, rp_pal, _ = mules.advect_alpha(
+            alpha, phi, ga, spacing, 2e-4, props.rho1, props.rho2,
+            use_pallas=True)
+
+    assert np.abs(np.asarray(a_pal) - np.asarray(a_ref)).max() < 1e-5
+    for ax in range(3):
+        d = np.abs(np.asarray(rp_pal[ax]) - np.asarray(rp_ref[ax])).max()
+        assert d < 1e-2, (ax, d)  # rho-weighted flux: rho1 ~ 1000
     fluid = np.asarray(ga["vfrac"]) > 0
     ap = np.asarray(a_pal)
     assert ap[fluid].min() >= 0.0 and ap[fluid].max() <= 1.0 + 1e-6
