@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 TPU measurement queue — run ONCE when the axon tunnel is back.
+# Serializes every TPU job (1-core host, remote compiler): baseline bench
+# refresh, resident-FCT A/B, preconditioner-refresh K sweep, and the
+# combined-best configuration. Writes one log per arm under /tmp/r3q.
+set -u
+cd "$(dirname "$0")/.." || exit 1
+OUT=/tmp/r3q
+mkdir -p "$OUT"
+
+run() {
+    name=$1; shift
+    echo "=== $name: $* ==="
+    ( "$@" ) > "$OUT/$name.log" 2>&1
+    grep -h '"metric"' "$OUT/$name.log" | tail -1
+}
+
+# 1. Baseline (r3 defaults) — confirms the 152.3M reference point.
+run baseline python -u bench.py
+
+# 2. Resident FCT limiter kernel.
+run fct_resident env OFTPP_FCT_RESIDENT=1 python -u bench.py
+
+# 3. Preconditioner refresh interval sweep (K=1 is in baseline).
+for K in 4 8 16; do
+    run "precond_K$K" env OFTPP_PRECOND_REFRESH=$K python -u bench.py
+done
+
+# 4. b-normalized stopping criterion (iteration cut at steady state;
+#    accuracy gate = scripts/tol_criterion_study.py on CPU).
+for RB in 1e-4 1e-3; do
+    run "tolb_$RB" env OFTPP_P_TOL_REL_B=$RB python -u bench.py
+done
+
+# 5. Combined best guess (trim after reading 1-4).
+run combined env OFTPP_FCT_RESIDENT=1 OFTPP_PRECOND_REFRESH=8 \
+    python -u bench.py
+
+echo "--- summary ---"
+for f in "$OUT"/*.log; do
+    echo "$(basename "$f" .log): $(grep -h '"metric"' "$f" | tail -1)"
+done
