@@ -33,6 +33,7 @@ interpret mode.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -235,8 +236,12 @@ def _round_up(n, m):
 # values when SLAB < n_iters + 1).
 # ---------------------------------------------------------------------------
 
-RSLAB = 2  # x-planes per grid step: the resident working set is ~3x the
-#            single-iteration kernel's, so the slab is narrower.
+RSLAB = int(_os.environ.get("OFTPP_FCT_RSLAB", "2"))
+# x-planes per grid step: the resident working set is ~3x the
+# single-iteration kernel's, so the slab is narrower by default; wider
+# slabs amortize the halo better (traffic/plane 29 -> 19.5 at RSLAB=4
+# with h=3) if Mosaic can still allocate the VMEM (env-tunable for the
+# hardware A/B).
 
 
 def _kernel_resident(hx, hy, hz, n_eps, h, s, *refs):
