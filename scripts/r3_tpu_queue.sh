@@ -18,8 +18,9 @@ run() {
 # 1. Baseline (r3 defaults) — confirms the 152.3M reference point.
 run baseline python -u bench.py
 
-# 2. Resident FCT limiter kernel.
+# 2. Resident FCT limiter kernel (slab width A/B).
 run fct_resident env OFTPP_FCT_RESIDENT=1 python -u bench.py
+run fct_resident4 env OFTPP_FCT_RESIDENT=1 OFTPP_FCT_RSLAB=4 python -u bench.py
 
 # 3. Preconditioner refresh interval sweep (K=1 is in baseline).
 for K in 4 8 16; do
