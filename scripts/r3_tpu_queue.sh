@@ -37,6 +37,10 @@ done
 run combined env OFTPP_FCT_RESIDENT=1 OFTPP_PRECOND_REFRESH=8 \
     python -u bench.py
 
+# 6. Sweep throughput: vmapped batch baseline vs kernels-under-vmap.
+run sweep_base env BENCH_SWEEP=1 python -u bench.py
+run sweep_pallas env BENCH_SWEEP=1 OFTPP_SWEEP_PALLAS=1 python -u bench.py
+
 echo "--- summary ---"
 for f in "$OUT"/*.log; do
     echo "$(basename "$f" .log): $(grep -h '"metric"' "$f" | tail -1)"
