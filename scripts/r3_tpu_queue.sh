@@ -37,6 +37,10 @@ done
 run combined env OFTPP_FCT_RESIDENT=1 OFTPP_PRECOND_REFRESH=8 \
     python -u bench.py
 
+# 5b. Cap artifact: minutes on TPU (90k cells, 3 s sim); the resumable
+#     run picks up the checkpoints the aborted CPU attempt left behind.
+run cap_artifact python -u scripts/make_cap_artifact.py
+
 # 6. Sweep throughput: vmapped batch baseline vs kernels-under-vmap.
 run sweep_base env BENCH_SWEEP=1 python -u bench.py
 run sweep_pallas env BENCH_SWEEP=1 OFTPP_SWEEP_PALLAS=1 python -u bench.py
