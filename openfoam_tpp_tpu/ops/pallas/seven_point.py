@@ -335,6 +335,45 @@ def _kernel_cheb2_post(theta, c_pp, c_pd,
     x_out[:, :, :] = (x1[1 : s + 1] + p2).astype(x_out.dtype)
 
 
+def _kernel_cheb2_post_dot(theta, c_pp, c_pd,
+                           x_m2, x_m1, x_c, x_p1, x_p2,
+                           b_m1, b_c, b_p1,
+                           wxl_m, wxl_c, wxl_p, wxh_m, wxh_c, wxh_p,
+                           wyl_m, wyl_c, wyl_p, wyh_m, wyh_c, wyh_p,
+                           wzl_m, wzl_c, wzl_p, wzh_m, wzh_c, wzh_p,
+                           x_out, partial):
+    """cheb2_post PLUS the CG coupling dot Σ b·x_out (per-slab partial
+    to SMEM): b is the residual r the V-cycle preconditions and x_out
+    is z = M⁻¹r, so this emits rz for CG's beta without the separate
+    2-array dot pass over r and z. b is the cycle's low-precision copy
+    of r — an O(2⁻⁹)-relative perturbation of rz, the flexible-CG
+    regime the bf16 V-cycle already operates in."""
+    s, ny, nz = x_out.shape
+    xe = jnp.concatenate(
+        [r[...] for r in (x_m2, x_m1, x_c, x_p1, x_p2)], axis=0)  # s+4
+    be = jnp.concatenate(
+        [r[...] for r in (b_m1, b_c, b_p1)], axis=0)               # s+2
+    w6e = tuple(
+        jnp.concatenate([m[...], c[...], p[...]], axis=0)
+        for m, c, p in ((wxl_m, wxl_c, wxl_p), (wxh_m, wxh_c, wxh_p),
+                        (wyl_m, wyl_c, wyl_p), (wyh_m, wyh_c, wyh_p),
+                        (wzl_m, wzl_c, wzl_p), (wzh_m, wzh_c, wzh_p)))
+    ax = _hat_apply(xe[: s + 2], xe[1 : s + 3], xe[2 : s + 4],
+                    w6e, ny, nz)
+    d1 = be - ax
+    p1 = d1 / theta
+    x1 = xe[1 : s + 3] + p1
+    w6c = tuple(w[1 : s + 1] for w in w6e)
+    ax1 = _hat_apply(x1[:s], x1[1 : s + 1], x1[2 : s + 2], w6c, ny, nz)
+    d2 = be[1 : s + 1] - ax1
+    p2 = c_pp * p1[1 : s + 1] + c_pd * d2
+    xf = (x1[1 : s + 1] + p2).astype(x_out.dtype)
+    x_out[:, :, :] = xf
+    partial[pl.program_id(0)] = jnp.sum(
+        be[1 : s + 1].astype(jnp.float32) * xf.astype(jnp.float32),
+        dtype=jnp.float32)
+
+
 def _halo_specs(nx, ny, nz):
     def blk():
         return pl.BlockSpec((SLAB, ny, nz), lambda i: (i, 0, 0),
@@ -401,6 +440,41 @@ def cheb2_post_7pt(x, b, split, lmax, lmin_frac, out_dtype=None,
         out_shape=jax.ShapeDtypeStruct(b.shape, out_dtype or b.dtype),
         interpret=interpret,
     )(x, x, x, x, x, b, b, b, *w_args)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lmax", "lmin_frac", "out_dtype",
+                                    "interpret"))
+def cheb2_post_dot_7pt(x, b, split, lmax, lmin_frac, out_dtype=None,
+                       interpret=False):
+    """(cheb2_post(x, b), Σ b·result) in one pass — the V-cycle exit
+    smoother fused with CG's rz coupling dot (see _kernel_cheb2_post_dot
+    for the precision caveat)."""
+    nx, ny, nz = b.shape
+    assert nx % SLAB == 0
+    theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
+    blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz)
+    nblk = nx // SLAB
+
+    w_specs, w_args = [], []
+    for w in split:
+        w_specs += [m1, blk(), p1]
+        w_args += [w, w, w]
+    z, partials = pl.pallas_call(
+        functools.partial(_kernel_cheb2_post_dot, theta, c_pp, c_pd),
+        grid=(nblk,),
+        in_specs=[m2, m1, blk(), p1, p2, m1, blk(), p1] + w_specs,
+        out_specs=(
+            blk(),
+            pl.BlockSpec((nblk,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(b.shape, out_dtype or b.dtype),
+            jax.ShapeDtypeStruct((nblk,), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, x, x, x, x, b, b, b, *w_args)
+    return z, jnp.sum(partials)
 
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM

@@ -114,6 +114,10 @@ class PoissonProblem:
     apply_dot_hat: Callable | None = None  # p → (Â·p, p·Â·p) in one fused
                                            # kernel pass (CG curvature step;
                                            # TPU kernel path only)
+    precond_rz_hat: Callable | None = None  # r → (M̂⁻¹r, r·M̂⁻¹r) with the
+                                            # coupling dot fused into the
+                                            # V-cycle exit smoother
+                                            # (OFTPP_FUSED_RZ=1)
 
 
 def _weights_apply(level: _Level, p):
@@ -353,7 +357,15 @@ def _vcycle(levels, li, b):
     return x
 
 
-def _vcycle_hybrid(top_hat, inv_s, levels_coarse, b, out_dtype=None):
+_FUSED_RZ = _os.environ.get("OFTPP_FUSED_RZ", "0") == "1"
+#   fold CG's rz = r·z dot into the V-cycle's exit smoother kernel
+#   (saves the separate 2-array f32 dot pass per CG iteration; rz is
+#   then computed against the cycle's bf16 copy of r — a ~2⁻⁹ relative
+#   perturbation of beta, i.e. flexible-CG territory)
+
+
+def _vcycle_hybrid(top_hat, inv_s, levels_coarse, b, out_dtype=None,
+                   with_dot=False):
     """V-cycle on the SCALED top level with coarse correction on the
     PHYSICAL Galerkin hierarchy.
 
@@ -384,8 +396,13 @@ def _vcycle_hybrid(top_hat, inv_s, levels_coarse, b, out_dtype=None):
             # residual.
             x = x + _jacobi(top_hat, None, r, _COARSEST_SWEEPS)
             break
+    if with_dot and _fused_cheb2(top_hat):
+        from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+
+        return sp.cheb2_post_dot_7pt(x, b, top_hat.split, _CHEB_LMAX,
+                                     _CHEB_LMIN_FRAC, out_dtype=out_dtype)
     x = _smooth_post(top_hat, x, b, out_dtype)
-    return x
+    return (x, None) if with_dot else x
 
 
 _PRECOND_DTYPE = (jnp.float32 if _os.environ.get("OFTPP_PRECOND_F32") == "1"
@@ -627,12 +644,22 @@ def attach_precond(problem: PoissonProblem, bundle) -> PoissonProblem:
         return _vcycle_hybrid(top16, inv_s16, coarse16, r.astype(lp),
                               out_dtype=r.dtype)
 
+    precond_rz_hat = None
+    if _FUSED_RZ:
+        def precond_rz_hat(r):
+            # (z, rz) with rz from the exit smoother's fused dot; rz is
+            # None when the kernel path doesn't serve the top level
+            # (the caller then pays the plain f32 dot).
+            return _vcycle_hybrid(top16, inv_s16, coarse16, r.astype(lp),
+                                  out_dtype=r.dtype, with_dot=True)
+
     def precond(r):
         # Physical-space M⁻¹ ≈ A⁻¹ = S Â⁻¹ S (API/diagnostic use).
         return s * precond_hat(s * r)
 
     return dataclasses.replace(problem, precond=precond,
-                               precond_hat=precond_hat)
+                               precond_hat=precond_hat,
+                               precond_rz_hat=precond_rz_hat)
 
 
 def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
@@ -658,7 +685,7 @@ _F32_CG_FLOOR = 3e-5  # relative depth one f32 CG sweep can reliably reach
 
 
 def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv,
-             apply_dot_h=None):
+             apply_dot_h=None, precond_rz_h=None):
     """Plain preconditioned CG from a zero initial guess (recurrence
     residual untouched — refreshing it mid-flight destroys conjugacy).
     Operates entirely in the diagonally-scaled space (see solve_pcg).
@@ -669,12 +696,22 @@ def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv,
     and all CG vectors are identically zero on solid cells.
 
     `apply_dot_h` (TPU kernel path): p → (Â·p, p·Â·p) in one fused pass,
-    eliminating the dot's separate reads of p and Â·p."""
+    eliminating the dot's separate reads of p and Â·p. `precond_rz_h`
+    likewise fuses rz = r·z into the V-cycle's exit smoother."""
+
+    def precond_rz(r):
+        if precond_rz_h is not None:
+            z, rz = precond_rz_h(r)
+            if rz is not None:
+                return z, rz
+            return z, _dot(r, z)
+        z = precond_h(r)
+        return z, _dot(r, z)
+
     r = b
-    z = precond_h(r)
+    z, rz = precond_rz(r)
     x = jnp.zeros_like(b)
     p = z
-    rz = _dot(r, z)
     rr = _dot(r, r)
     tol2 = tol * tol
 
@@ -694,8 +731,7 @@ def _cg_core(apply_h, precond_h, fluid, b, tol, max_iters, nullv, nullvv,
         r = r - alpha * ap
         if nullv is not None:
             r = _project_out(r, nullv, fluid, nullvv)
-        z = precond_h(r)
-        rz_new = _dot(r, z)
+        z, rz_new = precond_rz(r)
         beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
         p = z + beta * p
         return (x, r, p, rz_new, _dot(r, r), k + 1)
@@ -803,7 +839,9 @@ def solve_pcg(
         inner_tol = jnp.maximum(_F32_CG_FLOOR * jnp.sqrt(_dot(r, r)), tol)
         dx, iters = _cg_core(apply_h, precond_h, fluid, r, inner_tol,
                              max_iters, nullv, nullvv,
-                             apply_dot_h=problem.apply_dot_hat)
+                             apply_dot_h=problem.apply_dot_hat,
+                             precond_rz_h=(problem.precond_rz_hat
+                                           if precond is None else None))
         xh = xh + dx
         total = total + iters
         r = true_residual(xh)

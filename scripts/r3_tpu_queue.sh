@@ -33,6 +33,9 @@ for RB in 1e-4 1e-3; do
     run "tolb_$RB" env OFTPP_P_TOL_REL_B=$RB python -u bench.py
 done
 
+# 4b. rz dot fused into the V-cycle exit smoother.
+run fused_rz env OFTPP_FUSED_RZ=1 python -u bench.py
+
 # 5. Combined best guess (trim after reading 1-4).
 run combined env OFTPP_FCT_RESIDENT=1 OFTPP_PRECOND_REFRESH=8 \
     python -u bench.py

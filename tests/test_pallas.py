@@ -183,3 +183,44 @@ def test_unit_diag_and_fused_apply_dot():
     out_r = np.asarray(
         sp.resid_scaled_7pt(p, split_hat, None, b, interpret=True))
     assert np.abs(out_r - ref_r).max() / np.abs(ref_r).max() < 1e-5
+
+
+def test_cheb2_post_dot_parity():
+    """cheb2_post_dot_7pt returns the identical smoothed z plus
+    rz = sum(b*z) (the CG coupling dot fused into the exit smoother)."""
+    geom = build_tank_geometry(H=0.05, D=0.02, mesh=0.0025, geo="flat",
+                               round_to=sp.SLAB)
+    ga = geometry_arrays(geom)
+    rho = mixture_density(init_state(geom).alpha, PhysicalProperties())
+    spacing = tuple(float(s) for s in geom.spacing)
+    prob = po.build_poisson(ga, spacing, rho, ga["top_open"])
+    split_hat = _split_hat(geom, ga, prob, spacing, rho)
+
+    key = jax.random.PRNGKey(11)
+    kx, kb = jax.random.split(key)
+    x = jax.random.normal(kx, geom.shape, jnp.float32)
+    b = jax.random.normal(kb, geom.shape, jnp.float32)
+
+    ref = sp.cheb2_post_7pt(x, b, split_hat, 2.0, 0.25, interpret=True)
+    z, rz = sp.cheb2_post_dot_7pt(x, b, split_hat, 2.0, 0.25,
+                                  interpret=True)
+    sz = float(jnp.abs(ref).max())
+    assert np.abs(np.asarray(z) - np.asarray(ref)).max() / sz < 1e-6
+    rz_ref = float(jnp.sum(b * ref, dtype=jnp.float32))
+    assert abs(float(rz) - rz_ref) <= 1e-5 * abs(rz_ref)
+
+    # bf16 inputs with widened f32 store — the production configuration.
+    b16 = b.astype(jnp.bfloat16)
+    x16 = x.astype(jnp.bfloat16)
+    split16 = tuple(w.astype(jnp.bfloat16) for w in split_hat)
+    ref16 = sp.cheb2_post_7pt(x16, b16, split16, 2.0, 0.25,
+                              out_dtype=jnp.float32, interpret=True)
+    z16, rz16 = sp.cheb2_post_dot_7pt(x16, b16, split16, 2.0, 0.25,
+                                      out_dtype=jnp.float32,
+                                      interpret=True)
+    assert z16.dtype == jnp.float32
+    s16 = float(jnp.abs(ref16).max())
+    assert np.abs(np.asarray(z16) - np.asarray(ref16)).max() / s16 < 1e-6
+    rz16_ref = float(jnp.sum(b16.astype(jnp.float32) * ref16,
+                             dtype=jnp.float32))
+    assert abs(float(rz16) - rz16_ref) <= 1e-4 * max(abs(rz16_ref), 1e-30)
