@@ -216,7 +216,9 @@ def main():
     controls = SolverControls(
         use_pallas=jax.default_backend() == "tpu",
         precond_refresh=int(os.environ.get("OFTPP_PRECOND_REFRESH", "1")),
-        p_tol_rel_b=float(os.environ.get("OFTPP_P_TOL_REL_B", "0")),
+        p_tol_rel_b=float(os.environ["OFTPP_P_TOL_REL_B"])
+        if "OFTPP_P_TOL_REL_B" in os.environ else
+        SolverControls.p_tol_rel_b,
     )
     step = make_step(geom, props, controls, carry_precond=True)
     params = CaseParams.make(R=R, freq=freq, duration=20.0)

@@ -75,7 +75,7 @@ class SolverControls:
                                  # at 2x fewer CG iterations; 1e-2 degrades
                                  # div(phi) by 60x — do not loosen further.
     p_tol_abs: float = 1e-8      # fvSolution:46   p_rgh tolerance (scaled)
-    p_tol_rel_b: float = 0.0     # OpenFOAM-normFactor-style criterion:
+    p_tol_rel_b: float = 3e-4    # OpenFOAM-normFactor-style criterion:
                                  # additionally stop when the scaled
                                  # residual falls below this fraction of
                                  # ||b̂|| (the RHS scale). The reference's
@@ -86,9 +86,16 @@ class SolverControls:
                                  # pure r0-relative criterion instead
                                  # demands a fixed 1e3 reduction even when
                                  # the warm start is already at the f32
-                                 # representation floor. 0 = off (legacy
-                                 # criterion only); see
-                                 # scripts/tol_criterion_study.py.
+                                 # representation floor. Measured
+                                 # (scripts/tol_criterion_study.py, 300
+                                 # violent-regime steps, 32^3 flagship):
+                                 # 3e-4 cuts 7% of CG iterations there
+                                 # (more at steady state, where it binds)
+                                 # at 0.0003%-of-depth interface change
+                                 # and unchanged div(phi); 1e-3 cuts 31%
+                                 # but doubles the instantaneous div
+                                 # error — offered via OFTPP_P_TOL_REL_B
+                                 # for steady production farms. 0 = off.
     p_max_iters: int = 50
     write_interval: float = 0.05  # controlDict:32 writeInterval
     use_pallas: bool = False     # fused TPU stencil kernels for the CG

@@ -27,9 +27,10 @@ for K in 4 8 16; do
     run "precond_K$K" env OFTPP_PRECOND_REFRESH=$K python -u bench.py
 done
 
-# 4. b-normalized stopping criterion (iteration cut at steady state;
+# 4. b-normalized stopping criterion (3e-4 is now the default, measured
+#    in the baseline arm; legacy and the aggressive setting bracket it —
 #    accuracy gate = scripts/tol_criterion_study.py on CPU).
-for RB in 1e-4 1e-3; do
+for RB in 0 1e-3; do
     run "tolb_$RB" env OFTPP_P_TOL_REL_B=$RB python -u bench.py
 done
 
