@@ -816,6 +816,14 @@ def solve_pcg(
 
     r = true_residual(xh)
     tol = jnp.maximum(tol_rel * jnp.sqrt(_dot(r, r)), tol_abs)
+    if isinstance(tol_rel_b, float) and isinstance(tol_rel, float):
+        # The floor must never be LOOSER than the user's reduction-factor
+        # request on a cold solve: someone tightening tol_rel to 1e-6
+        # (e.g. the hydrostatic-quiescence oracle) means "this much
+        # accuracy everywhere", and a production-tuned default floor must
+        # not silently cap it. With the defaults (1e-3, 3e-4) this is a
+        # no-op.
+        tol_rel_b = min(tol_rel_b, tol_rel)
     if isinstance(tol_rel_b, jax.Array) or tol_rel_b > 0.0:
         # OpenFOAM-parity criterion (fvSolution `tolerance`): absolute on
         # the RHS-scale-normalized residual. Keeping BOTH terms in a max
