@@ -32,6 +32,17 @@ from openfoam_tpp_tpu.solver import momentum as mom
 from openfoam_tpp_tpu.solver import poisson
 
 
+def _MOM_PALLAS() -> bool:
+    """Fused momentum-RHS kernel gate (read at trace time so tests can
+    flip it per-process). OFF by default pending the TPU A/B — the r2
+    momentum megakernel measured slower than XLA fusion and was deleted;
+    this rebuild uses the r3 winners' infrastructure (see
+    ops/pallas/momentum_rhs.py)."""
+    import os
+
+    return os.environ.get("OFTPP_MOM_PALLAS", "0") == "1"
+
+
 class StepDiagnostics(NamedTuple):
     """Per-step scalars (the reference's solver-log numbers)."""
 
@@ -226,21 +237,38 @@ def make_step_core(
             kappa = mom.curvature(alpha_new, spacing)
 
         vels = (state.u, state.v, state.w)
-        mu_edges = mom.edge_viscosities(mu)
         # dev2 transpose stress (fvSchemes:32 parity): ∇·U from the step-n
         # aperture-weighted fluxes (≈ 0 after the previous projection).
         div_u = (st.divergence(*phi, spacing)
                  if controls.dev2_stress else None)
+        # Fused momentum RHS kernel (visc + dev2 − conv in one pass over
+        # all three components) — gated until the TPU A/B
+        # (docs/ROADMAP.md §6; win or delete).
+        fused_rhs = None
+        if _MOM_PALLAS():
+            from openfoam_tpp_tpu.ops.pallas import momentum_rhs as _mrk
+
+            if _mrk.supported(state.alpha.shape, state.alpha.dtype):
+                fused_rhs = _mrk.momentum_rhs(
+                    state.u, state.v, state.w, rho_phi, mu, div_u,
+                    tuple(float(h) for h in spacing),
+                    dev2=bool(controls.dev2_stress), open_top=open_top)
+        mu_edges = None if fused_rhs is not None \
+            else mom.edge_viscosities(mu)
         new_vels = []
         for ax, q in enumerate(vels):
             rof = st.cells_to_faces_avg(rho_old, ax)
             rnf = st.cells_to_faces_avg(rho_new, ax)
-            conv = mom.convect_face_field(q, ax, rho_phi, spacing)
-            visc = mom.viscous_face_field(q, ax, mu, spacing, mu_edges)
-            vc = visc - conv
-            if controls.dev2_stress:
-                vc = vc + mom.transpose_viscous_face_field(
-                    vels, ax, mu, spacing, mu_edges, div_u)
+            if fused_rhs is not None:
+                vc = fused_rhs[ax]
+            else:
+                conv = mom.convect_face_field(q, ax, rho_phi, spacing)
+                visc = mom.viscous_face_field(q, ax, mu, spacing,
+                                              mu_edges)
+                vc = visc - conv
+                if controls.dev2_stress:
+                    vc = vc + mom.transpose_viscous_face_field(
+                        vels, ax, mu, spacing, mu_edges, div_u)
             q_star = (rof * q + dt * vc) / rnf
             # Effective-gravity acceleration (total-p formulation — see
             # the forcing note in solver/momentum.py) + CSF. A forcing

@@ -37,6 +37,10 @@ done
 # 4b. rz dot fused into the V-cycle exit smoother.
 run fused_rz env OFTPP_FUSED_RZ=1 python -u bench.py
 
+# 4c. Fused momentum RHS kernel (visc + dev2 − conv in one pass;
+#     single-case only — do NOT combine with BENCH_SWEEP).
+run mom_pallas env OFTPP_MOM_PALLAS=1 python -u bench.py
+
 # 5. Combined best guess (trim after reading 1-4).
 run combined env OFTPP_FCT_RESIDENT=1 OFTPP_PRECOND_REFRESH=8 \
     python -u bench.py
