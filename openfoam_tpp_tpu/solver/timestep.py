@@ -249,10 +249,16 @@ def make_step_core(
             from openfoam_tpp_tpu.ops.pallas import momentum_rhs as _mrk
 
             if _mrk.supported(state.alpha.shape, state.alpha.dtype):
-                fused_rhs = _mrk.momentum_rhs(
-                    state.u, state.v, state.w, rho_phi, mu, div_u,
-                    tuple(float(h) for h in spacing),
-                    dev2=bool(controls.dev2_stress), open_top=open_top)
+                try:
+                    # Traced spacing (geometry-batched sweep lanes) can't
+                    # feed the static kernel args — stay on the jnp path.
+                    h_static = tuple(float(h) for h in spacing)
+                except (TypeError, jax.errors.TracerArrayConversionError):
+                    h_static = None
+                if h_static is not None:
+                    fused_rhs = _mrk.momentum_rhs(
+                        state.u, state.v, state.w, rho_phi, mu, div_u,
+                        h_static, dev2=bool(controls.dev2_stress))
         mu_edges = None if fused_rhs is not None \
             else mom.edge_viscosities(mu)
         new_vels = []

@@ -72,27 +72,22 @@ def test_momentum_rhs_parity(open_top, dev2):
     rho_phi = (rpx, rpy, rpz)
 
     got = mrk.momentum_rhs(u, v, w, rho_phi, mu, div_u, SPACING,
-                           dev2=dev2, open_top=open_top, interpret=True)
+                           dev2=dev2, interpret=True)
     want = _truth(u, v, w, rho_phi, mu, div_u, dev2)
 
     scale = max(float(jnp.max(jnp.abs(a))) for a in want)
-    # Kept faces: all but the dropped wall rows (u top x-row, v top
-    # y-row); w's top plane is owned by the wrapper when the top is open.
+    # Every face but u's top wall row (outside the x grid; the kernel
+    # returns zeros there and it is masked downstream either way). v and
+    # w come back COMPLETE, including w's open-top plane.
     kept = [
         (got[0][:-1], want[0][:-1], "u"),
-        (got[1][:, :-1], want[1][:, :-1], "v"),
-        (got[2][:, :, :-1], want[2][:, :, :-1], "w"),
+        (got[1], want[1], "v"),
+        (got[2], want[2], "w"),
     ]
-    if open_top:
-        kept.append((got[2][:, :, -1], want[2][:, :, -1], "w_top"))
     for g, t, name in kept:
         err = float(jnp.max(jnp.abs(g - t)))
         assert err <= 1e-5 * scale, (name, err, scale)
-    # Dropped wall rows are exact zeros (masked downstream either way).
     assert float(jnp.max(jnp.abs(got[0][-1]))) == 0.0
-    assert float(jnp.max(jnp.abs(got[1][:, -1]))) == 0.0
-    if not open_top:
-        assert float(jnp.max(jnp.abs(got[2][:, :, -1]))) == 0.0
 
 
 def test_momentum_rhs_step_wiring(monkeypatch):
@@ -139,6 +134,6 @@ def test_momentum_rhs_quiescent_hydrostatic():
     rp = (z((9, 8, 8)), z((8, 9, 8)), z((8, 8, 9)))
     mu = jnp.full((8, 8, 8), 1e-3, jnp.float32)
     got = mrk.momentum_rhs(u, v, w, rp, mu, None, SPACING,
-                           dev2=True, open_top=True, interpret=True)
+                           dev2=True, interpret=True)
     for a in got:
         assert float(jnp.max(jnp.abs(a))) == 0.0
