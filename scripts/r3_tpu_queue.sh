@@ -41,9 +41,11 @@ run fused_rz env OFTPP_FUSED_RZ=1 python -u bench.py
 #     single-case only — do NOT combine with BENCH_SWEEP).
 run mom_pallas env OFTPP_MOM_PALLAS=1 python -u bench.py
 
-# 5. Combined best guess (trim after reading 1-4).
+# 5. Combined best guesses (trim after reading 1-4).
 run combined env OFTPP_FCT_RESIDENT=1 OFTPP_PRECOND_REFRESH=8 \
     python -u bench.py
+run combined_all env OFTPP_FCT_RESIDENT=1 OFTPP_PRECOND_REFRESH=8 \
+    OFTPP_MOM_PALLAS=1 python -u bench.py
 
 # 5b. Cap artifact: minutes on TPU (90k cells, 3 s sim); the resumable
 #     run picks up the checkpoints the aborted CPU attempt left behind.
