@@ -41,6 +41,13 @@ run fused_rz env OFTPP_FUSED_RZ=1 python -u bench.py
 #     single-case only — do NOT combine with BENCH_SWEEP).
 run mom_pallas env OFTPP_MOM_PALLAS=1 python -u bench.py
 
+# 4d. W-cycle preconditioner (coarse-level gamma=2): the flagship needs
+#     p_iters ~12 vs ~6 on 32^3 — multilevel PWC-transfer degradation.
+#     gamma=2 doubles only the cheap coarse work; read the p_iters_hist
+#     AND the wall number (CPU replay of this arm was impractically slow
+#     to compile, scripts/cg_tuning.py).
+run mg_gamma2 env OFTPP_MG_GAMMA=2 python -u bench.py
+
 # 5. Combined best guesses (trim after reading 1-4).
 run combined env OFTPP_FCT_RESIDENT=1 OFTPP_PRECOND_REFRESH=8 \
     python -u bench.py
