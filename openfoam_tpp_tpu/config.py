@@ -120,5 +120,16 @@ class SolverControls:
                                  # every step (carry_precond driver loops
                                  # only — solver/poisson.build_operator).
                                  # Physics-exact for any K (the operator
-                                 # is always fresh); K>1 trades a few CG
+                                 # is always fresh); K>1 trades CG
                                  # iterations for the hierarchy build.
+                                 # Measured (v5e, 1M-cell flagship,
+                                 # steady): K=1 160.4M updates/s, K=4
+                                 # 157.2M, K=8 152.5M, K=16 146.9M — the
+                                 # stale V-cycle costs more iterations
+                                 # than the rebuild saves; keep K=1.
+    mom_pallas: bool | None = None  # fused momentum-RHS kernel
+                                 # (ops/pallas/momentum_rhs.py). None =
+                                 # follow use_pallas (measured +16% on
+                                 # the flagship); vmapped sweep paths
+                                 # pin False (single-grid kernel).
+                                 # OFTPP_MOM_PALLAS env overrides both.

@@ -21,7 +21,6 @@ momentum transport (interFoam's rhoPhi; critical at density ratio 1000:1).
 
 from __future__ import annotations
 
-import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -119,22 +118,17 @@ def _fct_limited(alpha_n, alpha_low, antis, dt, spacing, inv_vol, fluid,
         # global upper-boundary faces are identically zero.
         from openfoam_tpp_tpu.ops.pallas import mules_fct as mf
 
+        # (A slab-resident ALL-iterations variant was built and measured
+        # in the r3 TPU A/B: 158.3M vs 160.4M updates/s — the 3x working
+        # set forced a narrow slab whose halo re-reads ate the saved
+        # launches. Deleted per win-or-delete; git history @ 80f202c.)
         dt_iv = dt * inv_vol
         cell_antis = (antis[0][:-1], antis[1][:, :-1], antis[2][:, :, :-1])
-        if (_os.environ.get("OFTPP_FCT_RESIDENT", "0") == "1"
-                and mf.resident_supported(alpha_low.shape, n_iters,
-                                          alpha_low.dtype)):
-            # All iterations resident in one pass; outputs are the
-            # limited fluxes directly (λ0 = 0 ⇒ the kernel carries
-            # applied/remaining flux pairs instead of λ).
-            lim = mf.fct_limited(cell_antis, alpha_low, amax, amin,
-                                 dt_iv, spacing, n_iters=n_iters)
-        else:
-            lams = tuple(jnp.zeros_like(alpha_low) for _ in range(3))
-            for _ in range(n_iters):
-                lams = mf.fct_iter(lams, cell_antis, alpha_low, amax,
-                                   amin, dt_iv, spacing)
-            lim = tuple(l * a for l, a in zip(lams, cell_antis))
+        lams = tuple(jnp.zeros_like(alpha_low) for _ in range(3))
+        for _ in range(n_iters):
+            lams = mf.fct_iter(lams, cell_antis, alpha_low, amax,
+                               amin, dt_iv, spacing)
+        lim = tuple(l * a for l, a in zip(lams, cell_antis))
         zx = jnp.zeros_like(lim[0][:1])
         zy = jnp.zeros_like(lim[1][:, :1])
         zz = jnp.zeros_like(lim[2][:, :, :1])

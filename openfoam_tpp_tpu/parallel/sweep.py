@@ -96,6 +96,9 @@ def make_sweep_step(
     The per-case adaptive dt is synchronized to the batch minimum before
     stepping, keeping all cases on a common time axis.
     """
+    # The fused momentum-RHS kernel is a single-grid design; under vmap
+    # the case-minor jnp path vectorizes across lanes instead.
+    controls = dataclasses.replace(controls, mom_pallas=False)
     step = make_step(geom, props, controls)
     vstep = jax.vmap(step, in_axes=(axis, 0), out_axes=(axis, 0))
 
@@ -190,10 +193,12 @@ def make_geom_sweep_step(
     # Fused stencil kernels under vmap lower via the pallas batching rule
     # (one grid step per case). For the small per-case grids sweeps run,
     # the case-minor jnp path vectorizes across lanes instead, which
-    # measured faster — kernels stay opt-in here (OFTPP_SWEEP_PALLAS=1
-    # to A/B; see docs/ROADMAP.md §3b).
+    # measured faster — r3 TPU A/B, 128 × 4k-cell cases: 142.1M agg
+    # cell-updates/s jnp vs 130.0M with kernels — so kernels stay
+    # opt-in here (OFTPP_SWEEP_PALLAS=1; see docs/ROADMAP.md §3b).
     if os.environ.get("OFTPP_SWEEP_PALLAS") != "1":
         controls = dataclasses.replace(controls, use_pallas=False)
+    controls = dataclasses.replace(controls, mom_pallas=False)
     axis_name = "case" if lockstep else None
     core = make_step_core(props, controls, open_top=True,
                           sync_axis=axis_name)

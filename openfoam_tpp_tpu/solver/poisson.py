@@ -53,8 +53,6 @@ _CHEB_LMAX = float(_os.environ.get("OFTPP_CHEB_LMAX", "2.0"))
 #   Gershgorin bound for D^-1 A (positive weights)
 _CHEB_LMIN_FRAC = float(_os.environ.get("OFTPP_CHEB_LMIN", "0.25"))
 #   smooth the upper (1 − frac) of the spectrum
-_MG_GAMMA = int(_os.environ.get("OFTPP_MG_GAMMA", "1"))
-#   coarse-corrections per level visit: 1 = V-cycle, 2 = W-class cycle
 _FUSED_CHEB = _os.environ.get("OFTPP_FUSED_CHEB", "1") != "0"
 #   one-pass Pallas degree-2 Chebyshev smoother on kernel levels
 
@@ -345,23 +343,26 @@ def _vcycle(levels, li, b):
     if li == len(levels) - 1:
         return _jacobi(level, None, b, _COARSEST_SWEEPS)
     x = _smooth(level, None, b, _SMOOTH_SWEEPS)
-    # _MG_GAMMA > 1: repeat the coarse correction on the updated residual
-    # (W-class cycle) — stronger coarse solve for the cost of one extra
-    # fine residual + coarse visit per extra pass.
-    for _ in range(_MG_GAMMA):
-        r = b - _weights_apply(level, x)
-        rc = _restrict_to(levels[li + 1], r)
-        ec = _vcycle(levels, li + 1, rc)
-        x = x + _prolong_from(levels[li + 1], ec, level.shape)
+    # Plain V-cycle. A gamma=2 W-cycle arm was measured in the r3 TPU
+    # A/B: p_iters dropped 10 → 5 but wall-clock LOST 38% (97.7M vs
+    # 160.4M cell-updates/s) — the extra fine-level residual passes cost
+    # far more than the saved iterations. Deleted per win-or-delete.
+    r = b - _weights_apply(level, x)
+    rc = _restrict_to(levels[li + 1], r)
+    ec = _vcycle(levels, li + 1, rc)
+    x = x + _prolong_from(levels[li + 1], ec, level.shape)
     x = _smooth(level, x, b, _SMOOTH_SWEEPS)
     return x
 
 
-_FUSED_RZ = _os.environ.get("OFTPP_FUSED_RZ", "0") == "1"
+_FUSED_RZ = _os.environ.get("OFTPP_FUSED_RZ", "1") == "1"
 #   fold CG's rz = r·z dot into the V-cycle's exit smoother kernel
 #   (saves the separate 2-array f32 dot pass per CG iteration; rz is
 #   then computed against the cycle's bf16 copy of r — a ~2⁻⁹ relative
-#   perturbation of beta, i.e. flexible-CG territory)
+#   perturbation of beta, i.e. flexible-CG territory). Measured in the
+#   r3 TPU A/B: 161.0M vs 160.4M cell-updates/s steady with an
+#   identical p_iters histogram — ON by default (OFTPP_FUSED_RZ=0 to
+#   disable).
 
 
 def _vcycle_hybrid(top_hat, inv_s, levels_coarse, b, out_dtype=None,
@@ -380,22 +381,15 @@ def _vcycle_hybrid(top_hat, inv_s, levels_coarse, b, out_dtype=None,
     — algebraically identical to wrapping the all-physical V-cycle in
     S…S, with zero extra HBM passes."""
     x, r = _smooth_pre_resid(top_hat, b)
-    for g in range(_MG_GAMMA):
-        if g > 0:
-            # On the unit-diag top level, b − Â·x IS the scaled residual
-            # — one fused kernel pass instead of apply + subtract.
-            r = (_resid_scaled(top_hat, x, b) if top_hat.unit_diag
-                 else b - _weights_apply(top_hat, x))
-        if levels_coarse:
-            rc = _restrict_to(levels_coarse[0], inv_s * r)
-            ec = _vcycle(levels_coarse, 0, rc)
-            x = x + inv_s * _prolong_from(levels_coarse[0], ec,
-                                          top_hat.shape)
-        else:
-            # No coarse grid (tiny problems): extra smoothing on the
-            # residual.
-            x = x + _jacobi(top_hat, None, r, _COARSEST_SWEEPS)
-            break
+    if levels_coarse:
+        rc = _restrict_to(levels_coarse[0], inv_s * r)
+        ec = _vcycle(levels_coarse, 0, rc)
+        x = x + inv_s * _prolong_from(levels_coarse[0], ec,
+                                      top_hat.shape)
+    else:
+        # No coarse grid (tiny problems): extra smoothing on the
+        # residual.
+        x = x + _jacobi(top_hat, None, r, _COARSEST_SWEEPS)
     if with_dot and _fused_cheb2(top_hat):
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 

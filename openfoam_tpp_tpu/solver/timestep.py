@@ -32,15 +32,22 @@ from openfoam_tpp_tpu.solver import momentum as mom
 from openfoam_tpp_tpu.solver import poisson
 
 
-def _MOM_PALLAS() -> bool:
+def _mom_pallas_enabled(controls: SolverControls) -> bool:
     """Fused momentum-RHS kernel gate (read at trace time so tests can
-    flip it per-process). OFF by default pending the TPU A/B — the r2
-    momentum megakernel measured slower than XLA fusion and was deleted;
-    this rebuild uses the r3 winners' infrastructure (see
-    ops/pallas/momentum_rhs.py)."""
+    flip it per-process). Default: follow ``controls.use_pallas`` — the
+    r3 TPU A/B measured the kernel at 186.2M vs 160.4M cell-updates/s
+    steady (+16%, 11.48 wall-s/shaking-period) on the 1M-cell flagship,
+    so it is ON wherever the other fused kernels are. OFTPP_MOM_PALLAS
+    =0/1 overrides (the r2 megakernel that measured SLOWER was a packed-
+    layout design, deleted; this one is ops/pallas/momentum_rhs.py)."""
     import os
 
-    return os.environ.get("OFTPP_MOM_PALLAS", "0") == "1"
+    env = os.environ.get("OFTPP_MOM_PALLAS")
+    if env is not None:
+        return env == "1"
+    if controls.mom_pallas is not None:
+        return controls.mom_pallas
+    return controls.use_pallas
 
 
 class StepDiagnostics(NamedTuple):
@@ -242,10 +249,10 @@ def make_step_core(
         div_u = (st.divergence(*phi, spacing)
                  if controls.dev2_stress else None)
         # Fused momentum RHS kernel (visc + dev2 − conv in one pass over
-        # all three components) — gated until the TPU A/B
-        # (docs/ROADMAP.md §6; win or delete).
+        # all three components) — measured +16% on the flagship
+        # (docs/ROADMAP.md §6e).
         fused_rhs = None
-        if _MOM_PALLAS():
+        if _mom_pallas_enabled(controls):
             from openfoam_tpp_tpu.ops.pallas import momentum_rhs as _mrk
 
             if _mrk.supported(state.alpha.shape, state.alpha.dtype):

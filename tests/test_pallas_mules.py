@@ -69,22 +69,16 @@ def test_fct_iter_matches_jnp_limiter():
                                spacing, interpret=True)
         lim_iter = tuple(l * a for l, a in zip(lams, cell_antis))
 
-        # Resident all-iterations kernel: limited fluxes directly.
-        lim_res = mf.fct_limited(cell_antis, a_low, amax, amin, dt_iv,
-                                 spacing, n_iters=n_iters, interpret=True)
-
-        for name, lims in (("iter", lim_iter), ("resident", lim_res)):
-            for ax in range(3):
-                r = np.asarray(ref[ax])
-                # Compare on the stored (lower) faces; the kernels'
-                # implicit upper-boundary faces are zero-antis faces.
-                r_cell = [r[:-1], r[:, :-1], r[:, :, :-1]][ax]
-                k = np.asarray(lims[ax])
-                anti = np.abs(np.asarray(cell_antis[ax]))
-                diff = np.abs(k - r_cell)
-                bad = diff > 1e-5 * anti + 1e-12
-                assert not bad.any(), (
-                    name, ax, n_iters, float(diff.max()))
+        for ax in range(3):
+            r = np.asarray(ref[ax])
+            # Compare on the stored (lower) faces; the kernel's
+            # implicit upper-boundary faces are zero-antis faces.
+            r_cell = [r[:-1], r[:, :-1], r[:, :, :-1]][ax]
+            k = np.asarray(lim_iter[ax])
+            anti = np.abs(np.asarray(cell_antis[ax]))
+            diff = np.abs(k - r_cell)
+            bad = diff > 1e-5 * anti + 1e-12
+            assert not bad.any(), (ax, n_iters, float(diff.max()))
 
 
 def test_flux_all_matches_jnp_fluxes():
@@ -188,43 +182,6 @@ def test_advect_alpha_pallas_path_matches():
         d = np.abs(np.asarray(rp_pal[ax]) - np.asarray(rp_ref[ax])).max()
         assert d < 1e-2, (ax, d)  # rho-weighted flux: rho1 ~ 1000
     # Boundedness preserved.
-    fluid = np.asarray(ga["vfrac"]) > 0
-    ap = np.asarray(a_pal)
-    assert ap[fluid].min() >= 0.0 and ap[fluid].max() <= 1.0 + 1e-6
-
-
-def test_advect_alpha_resident_limiter_matches(monkeypatch):
-    """Full advect_alpha with the RESIDENT all-iterations limiter kernel
-    (OFTPP_FCT_RESIDENT=1) vs the jnp path: identical update, bounds
-    preserved."""
-    geom, ga, spacing, alpha, phi = _setup()
-    props = PhysicalProperties()
-
-    a_ref, rp_ref, _ = mules.advect_alpha(
-        alpha, phi, ga, spacing, 2e-4, props.rho1, props.rho2)
-
-    import unittest.mock as mock
-
-    orig = mf.fct_limited
-
-    def interp(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setenv("OFTPP_FCT_RESIDENT", "1")
-    with mock.patch.object(mf, "fct_limited", interp), \
-            mock.patch.object(mf, "supported", lambda *a, **k: True), \
-            mock.patch.object(mf, "resident_supported",
-                              lambda *a, **k: True), \
-            mock.patch.object(mfx, "supported", lambda *a, **k: False):
-        a_pal, rp_pal, _ = mules.advect_alpha(
-            alpha, phi, ga, spacing, 2e-4, props.rho1, props.rho2,
-            use_pallas=True)
-
-    assert np.abs(np.asarray(a_pal) - np.asarray(a_ref)).max() < 1e-5
-    for ax in range(3):
-        d = np.abs(np.asarray(rp_pal[ax]) - np.asarray(rp_ref[ax])).max()
-        assert d < 1e-2, (ax, d)  # rho-weighted flux: rho1 ~ 1000
     fluid = np.asarray(ga["vfrac"]) > 0
     ap = np.asarray(a_pal)
     assert ap[fluid].min() >= 0.0 and ap[fluid].max() <= 1.0 + 1e-6
