@@ -55,6 +55,10 @@ _CHEB_LMIN_FRAC = float(_os.environ.get("OFTPP_CHEB_LMIN", "0.25"))
 #   smooth the upper (1 − frac) of the spectrum
 _FUSED_CHEB = _os.environ.get("OFTPP_FUSED_CHEB", "1") != "0"
 #   one-pass Pallas degree-2 Chebyshev smoother on kernel levels
+_MG_L1_GAMMA = int(_os.environ.get("OFTPP_MG_L1_GAMMA", "1"))
+#   coarse-correction visits at the FIRST coarse level only (a W-shape
+#   confined to the 1/8-traffic 56³ level; the full W-cycle that
+#   repeated TOP-level passes measured 38% slower and was deleted)
 
 
 @dataclasses.dataclass
@@ -343,14 +347,21 @@ def _vcycle(levels, li, b):
     if li == len(levels) - 1:
         return _jacobi(level, None, b, _COARSEST_SWEEPS)
     x = _smooth(level, None, b, _SMOOTH_SWEEPS)
-    # Plain V-cycle. A gamma=2 W-cycle arm was measured in the r3 TPU
-    # A/B: p_iters dropped 10 → 5 but wall-clock LOST 38% (97.7M vs
-    # 160.4M cell-updates/s) — the extra fine-level residual passes cost
-    # far more than the saved iterations. Deleted per win-or-delete.
-    r = b - _weights_apply(level, x)
-    rc = _restrict_to(levels[li + 1], r)
-    ec = _vcycle(levels, li + 1, rc)
-    x = x + _prolong_from(levels[li + 1], ec, level.shape)
+    # Plain V-cycle below the top. A gamma=2 W-cycle at EVERY level was
+    # measured in the r3 TPU A/B: p_iters dropped 10 → 5 but wall-clock
+    # LOST 38% (97.7M vs 160.4M cell-updates/s) — the extra fine-level
+    # residual passes cost far more than the saved iterations. The
+    # surviving variant is _MG_L1_GAMMA: repeat the correction at THIS
+    # hierarchy's entry level only (li == 0 is the first coarse level,
+    # 1/8 the top's traffic), smoothing between visits.
+    gamma = _MG_L1_GAMMA if li == 0 else 1
+    for g in range(max(gamma, 1)):
+        if g:
+            x = _smooth(level, x, b, _SMOOTH_SWEEPS)
+        r = b - _weights_apply(level, x)
+        rc = _restrict_to(levels[li + 1], r)
+        ec = _vcycle(levels, li + 1, rc)
+        x = x + _prolong_from(levels[li + 1], ec, level.shape)
     x = _smooth(level, x, b, _SMOOTH_SWEEPS)
     return x
 

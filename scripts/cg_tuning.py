@@ -63,18 +63,20 @@ def capture():
         got["rho"] = np.asarray(rho)
 
     orig_solve = poisson.solve_pcg
-    orig_build = poisson.build_poisson
+    orig_build = poisson.build_operator
 
     def spy_solve(problem, b, x0, **kw):
         jax.debug.callback(_stash_solve, b, x0)
         return orig_solve(problem, b, x0, **kw)
 
     def spy_build(geom_arrays, spacing, rho, top_open, **kw):
+        # The step builds through the split API (build_operator +
+        # make_bundle), not build_poisson.
         jax.debug.callback(_stash_rho, rho)
         return orig_build(geom_arrays, spacing, rho, top_open, **kw)
 
     poisson.solve_pcg = spy_solve
-    poisson.build_poisson = spy_build
+    poisson.build_operator = spy_build
     try:
         step = timestep.make_step(geom, PhysicalProperties(),
                                   SolverControls())
@@ -83,7 +85,7 @@ def capture():
         jax.block_until_ready(new_state)
     finally:
         poisson.solve_pcg = orig_solve
-        poisson.build_poisson = orig_build
+        poisson.build_operator = orig_build
 
     np.savez_compressed(PROBE, **got)
     print(f"captured b/x0/rho -> {PROBE}  "

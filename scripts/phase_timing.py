@@ -138,6 +138,22 @@ def run_build(rho):
 
 
 @jax.jit
+def run_build_op(rho):
+    """Operator half only (everything that must be fresh per step)."""
+    prob, pack = poisson.build_operator(ga, spacing, rho, ga["top_open"],
+                                        use_pallas=controls.use_pallas)
+    return prob.diag, pack
+
+
+@jax.jit
+def run_bundle(rho):
+    """Operator + bf16 V-cycle hierarchy build (the make_bundle half)."""
+    _, pack = poisson.build_operator(ga, spacing, rho, ga["top_open"],
+                                     use_pallas=controls.use_pallas)
+    return poisson.make_bundle(pack, use_pallas=controls.use_pallas)
+
+
+@jax.jit
 def run_pcg(rho, u, v, w, p0, dt):
     prob = poisson.build_poisson(ga, spacing, rho, ga["top_open"],
                                  use_pallas=controls.use_pallas)
@@ -163,6 +179,9 @@ print(f"  limiter-only ~ {t_lim - t_flux:.3f} ms/subcycle")
 t_mom_full = timeit("mules+momentum", run_momentum, state.alpha, state.u,
                     state.v, state.w, phi, dt)
 t_build = timeit("poisson build", run_build, rho_new)
+t_build_op = timeit("  operator only", run_build_op, rho_new)
+t_bundle = timeit("  operator+bundle", run_bundle, rho_new)
+print(f"  bundle-only ~ {t_bundle - t_build_op:.3f} ms/step (K=1 refresh)")
 t_pcg = timeit("build+pcg", run_pcg, rho_new, state.u, state.v, state.w,
                state.p, dt)
 t_full = timeit("FULL STEP", lambda s: step(s, params)[0], state, n=30)
