@@ -127,6 +127,26 @@ class SolverControls:
                                  # 157.2M, K=8 152.5M, K=16 146.9M — the
                                  # stale V-cycle costs more iterations
                                  # than the rebuild saves; keep K=1.
+    max_diff_co: float = 0.25    # explicit-diffusion stability bound:
+                                 # nu_max * dt * (1/hx^2+1/hy^2+1/hz^2)
+                                 # <= max_diff_co. The pure-FTCS limit is
+                                 # 0.5 but is MARGINAL once convection and
+                                 # the free-surface coupling ride on the
+                                 # same explicit update (measured: a
+                                 # quiescent h=1 mm tank at 0.5 grows
+                                 # velocity excursions; 0.25 is clean) —
+                                 # default keeps a 2x safety factor.
+                                 # The reference's viscous term
+                                 # is implicit (fvSolution U smoothSolver)
+                                 # so OpenFOAM never needs this; our
+                                 # momentum update is explicit and a
+                                 # quiescent case would otherwise grow dt
+                                 # to max_dt=1 s, far beyond h^2/(6 nu_air)
+                                 # (~0.045 s at h=2 mm). 0 disables.
+    max_capillary_co: float = 1.0  # capillary-wave dt bound (Brackbill):
+                                 # dt <= factor * sqrt((rho1+rho2) h_min^3
+                                 # / (4 pi sigma)); active only when
+                                 # sigma != 0. 0 disables.
     mom_pallas: bool | None = None  # fused momentum-RHS kernel
                                  # (ops/pallas/momentum_rhs.py). None =
                                  # follow use_pallas (measured +16% on

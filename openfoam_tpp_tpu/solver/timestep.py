@@ -42,6 +42,13 @@ def _mom_pallas_enabled(controls: SolverControls) -> bool:
     layout design, deleted; this one is ops/pallas/momentum_rhs.py)."""
     import os
 
+    if controls.mom_pallas is False:
+        # An explicit False is a STRUCTURAL pin (the vmapped sweep paths
+        # set it: the kernel is a single-grid program and measured slower
+        # under vmap, 130.0M vs 142.1M — parallel/sweep.py) and beats the
+        # env override; OFTPP_MOM_PALLAS=1 there would silently degrade
+        # sweep throughput (ADVICE r3).
+        return False
     env = os.environ.get("OFTPP_MOM_PALLAS")
     if env is not None:
         return env == "1"
@@ -160,6 +167,25 @@ def make_step_core(
             jnp.minimum(controls.dt_growth * state.dt, limit),
             controls.max_dt,
         ).astype(state.dt.dtype)
+        # --- explicit-stability dt bounds (SolverControls.max_diff_co /
+        # max_capillary_co). The reference's viscous solve is implicit so
+        # OpenFOAM gets these for free (controlDict:47-51 only caps Co);
+        # our explicit momentum update must cap dt itself or a quiescent
+        # case drifts to max_dt and blows up in the air phase.
+        if controls.max_diff_co > 0.0:
+            inv_h2 = 1.0 / hx ** 2 + 1.0 / hy ** 2 + 1.0 / hz ** 2
+            nu_max = max(props.nu1, props.nu2)
+            dt_cfl = jnp.minimum(
+                dt_cfl, controls.max_diff_co / (nu_max * inv_h2)
+            ).astype(state.dt.dtype)
+        if props.sigma != 0.0 and controls.max_capillary_co > 0.0:
+            # Brackbill CSF capillary-wave limit on the finest spacing.
+            h_min = jnp.minimum(jnp.minimum(hx, hy), hz)
+            dt_cap = controls.max_capillary_co * jnp.sqrt(
+                (props.rho1 + props.rho2) * h_min ** 3
+                / (4.0 * np.pi * abs(props.sigma))
+            )
+            dt_cfl = jnp.minimum(dt_cfl, dt_cap).astype(state.dt.dtype)
         if sync_axis is not None:
             # Lockstep batched sweeps: every vmapped lane takes the batch-
             # min CFL dt, so case times stay bitwise identical and land on

@@ -35,8 +35,17 @@ geom = build_tank_geometry(H=0.208, D=0.2, mesh=mesh, geo="flat", round_to=8)
 props = PhysicalProperties()
 params = CaseParams.make(R=0.004, freq=1.88, duration=20.0)
 
+# The steady-state checkpoint is produced by bench.py (it caches the
+# spun-up flagship state keyed by the grid shape); the filename must track
+# BENCH_MESH or a non-default mesh would silently time the wrong state.
+_shape = "x".join(str(s) for s in geom.shape)
 cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".bench_cache", "steady_112x112x112_t16.npz")
+                     ".bench_cache", f"steady_{_shape}_t16.npz")
+if not os.path.exists(cache):
+    sys.exit(
+        f"missing steady-state cache {cache!r} — run `python bench.py` "
+        f"(with BENCH_MESH={mesh:g}) first; it spins up and caches the "
+        "steady flagship state this script times against")
 state0 = uio.to_state(uio.load_checkpoint(cache))
 
 N_ITERS = int(os.environ.get("FIXED_ITERS", "10"))
