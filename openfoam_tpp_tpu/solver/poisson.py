@@ -77,15 +77,6 @@ class _Level:
                                 # every apply/residual and the b/diag
                                 # divides in the smoother entries
     dtype: object = None        # element dtype (falls back to diag.dtype)
-    c27: jax.Array | None = None  # (27, *shape) Galerkin RAP stencil
-                                  # (solver/rap.py, OFTPP_COARSE=rap27):
-                                  # set INSTEAD of face weights; levels
-                                  # below use linear transfers. `diag` is
-                                  # then the SMOOTHING diagonal, inflated
-                                  # by the level's Gershgorin bound so the
-                                  # static _CHEB_LMAX=2 window still covers
-                                  # the spectrum (RAP can create positive
-                                  # corner off-diagonals)
 
     @property
     def eltype(self):
@@ -123,10 +114,6 @@ class PoissonProblem:
 
 
 def _weights_apply(level: _Level, p):
-    if level.c27 is not None:
-        from openfoam_tpp_tpu.solver import rap
-
-        return rap.apply27(level.c27, p)
     if level.split is not None:
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
@@ -321,27 +308,6 @@ def _build_coarse_levels(wx, wy, wz, extra, max_coarse=9, min_cells=256):
     return levels
 
 
-def _restrict_to(next_level: _Level, r):
-    """Fine→coarse transfer matched to how `next_level` was built: PWC
-    sum for the face-weight Galerkin hierarchy, linear full-weighting
-    (Pᵀ) for RAP-27 levels — mismatching them loses Galerkin consistency
-    (the measured-worse combination, see _prolong_cells)."""
-    if next_level.c27 is not None:
-        from openfoam_tpp_tpu.solver import rap
-
-        return rap.make_restrict_linear(next_level.shape, r.shape,
-                                        r.dtype)(r)
-    return _restrict_cells(r)
-
-
-def _prolong_from(next_level: _Level, ec, fine_shape):
-    if next_level.c27 is not None:
-        from openfoam_tpp_tpu.solver import rap
-
-        return rap.prolong_linear(ec, fine_shape)
-    return _prolong_cells(ec, fine_shape)
-
-
 def _vcycle(levels, li, b):
     level = levels[li]
     if li == len(levels) - 1:
@@ -359,9 +325,9 @@ def _vcycle(levels, li, b):
         if g:
             x = _smooth(level, x, b, _SMOOTH_SWEEPS)
         r = b - _weights_apply(level, x)
-        rc = _restrict_to(levels[li + 1], r)
+        rc = _restrict_cells(r)
         ec = _vcycle(levels, li + 1, rc)
-        x = x + _prolong_from(levels[li + 1], ec, level.shape)
+        x = x + _prolong_cells(ec, level.shape)
     x = _smooth(level, x, b, _SMOOTH_SWEEPS)
     return x
 
@@ -393,10 +359,9 @@ def _vcycle_hybrid(top_hat, inv_s, levels_coarse, b, out_dtype=None,
     S…S, with zero extra HBM passes."""
     x, r = _smooth_pre_resid(top_hat, b)
     if levels_coarse:
-        rc = _restrict_to(levels_coarse[0], inv_s * r)
+        rc = _restrict_cells(inv_s * r)
         ec = _vcycle(levels_coarse, 0, rc)
-        x = x + inv_s * _prolong_from(levels_coarse[0], ec,
-                                      top_hat.shape)
+        x = x + inv_s * _prolong_cells(ec, top_hat.shape)
     else:
         # No coarse grid (tiny problems): extra smoothing on the
         # residual.
@@ -564,66 +529,22 @@ def make_bundle(pack, use_pallas=False):
     shape = pack["inv_s"].shape
     top = _bundle_entry(pack["hwx"].astype(lp), pack["hwy"].astype(lp),
                         pack["hwz"].astype(lp), shape, lp, use_pallas)
-    if _os.environ.get("OFTPP_COARSE") == "rap27":
-        coarse = _build_rap_entries(pack, lp)
-    else:
-        coarse = []
-        for lev in _build_coarse_levels(pack["wx"].astype(lp),
-                                        pack["wy"].astype(lp),
-                                        pack["wz"].astype(lp),
-                                        pack["extra"].astype(lp)):
-            coarse.append(_bundle_entry(lev.wx, lev.wy, lev.wz, lev.shape,
-                                        lp, use_pallas, diag=lev.diag))
+    # (A true Galerkin RAP-27 coarse hierarchy was built and measured in
+    # r3 — CG iterations −22-24%, wall-clock LOST ~2x because a 27-point
+    # level-1 stencil streams ~7.7x the coefficient arrays of the split
+    # 7-point; deleted in r4 per win-or-delete. Post-mortem:
+    # docs/ROADMAP.md §7; code in git history @ solver/rap.py.)
+    coarse = []
+    for lev in _build_coarse_levels(pack["wx"].astype(lp),
+                                    pack["wy"].astype(lp),
+                                    pack["wz"].astype(lp),
+                                    pack["extra"].astype(lp)):
+        coarse.append(_bundle_entry(lev.wx, lev.wy, lev.wz, lev.shape,
+                                    lp, use_pallas, diag=lev.diag))
     return {"top": top, "coarse": coarse, "inv_s": pack["inv_s"].astype(lp)}
 
 
-def _build_rap_entries(pack, lp, max_coarse=9, min_cells=256):
-    """Gated experiment (OFTPP_COARSE=rap27): true Galerkin RAP coarse
-    hierarchy with linear full-weighting transfers (solver/rap.py) in
-    place of the PWC face-weight hierarchy. Construction pays ~27 fine
-    operator applications per level via comb probing (f32, stored in
-    `lp`), so this only makes sense with precond_refresh ≫ 1; it exists
-    to measure whether linear-P Galerkin cuts CG iterations enough to
-    earn a fast analytic constructor (docs/ROADMAP.md §6)."""
-    from openfoam_tpp_tpu.solver import rap
-
-    wx, wy, wz, extra = pack["wx"], pack["wy"], pack["wz"], pack["extra"]
-    diag = (wx[:-1] + wx[1:] + wy[:, :-1] + wy[:, 1:]
-            + wz[:, :, :-1] + wz[:, :, 1:] + extra)
-    fine = _Level(wx=wx, wy=wy, wz=wz, extra=extra,
-                  diag=jnp.where(diag > 0, diag, 1.0), shape=extra.shape)
-
-    def apply_fine(p):
-        return _weights_apply(fine, p)
-
-    entries = []
-    apply_fn, shape = apply_fine, fine.shape
-    while (len(entries) < max_coarse
-           and shape[0] * shape[1] * shape[2] > min_cells
-           and min(shape) > 2):
-        c = rap.rap27(apply_fn, shape)            # f32 probing
-        d = rap.diag27(c)
-        # Inflate the smoothing diagonal so λmax(D_s⁻¹A_c) ≤ _CHEB_LMAX
-        # even with RAP's positive corner off-diagonals (Gershgorin);
-        # equivalent to widening the Chebyshev window for this level.
-        gersh = jnp.max(jnp.sum(jnp.abs(c), axis=0) / d)
-        d_smooth = d * jnp.maximum(gersh / _CHEB_LMAX, 1.0)
-        entries.append({"c27": c.astype(lp), "diag": d_smooth.astype(lp)})
-        cc = c
-
-        def apply_fn(p, _c=cc):
-            return rap.apply27(_c, p)
-
-        shape = rap.coarse_shape_of(shape)
-    return entries
-
-
 def _level_from_entry(d, unit_diag):
-    c27 = d.get("c27")
-    if c27 is not None:
-        return _Level(wx=None, wy=None, wz=None, extra=None, diag=d["diag"],
-                      shape=tuple(c27.shape[1:]), unit_diag=False,
-                      dtype=c27.dtype, c27=c27)
     split = d.get("split")
     if split is not None:
         shape = split[0].shape
