@@ -92,16 +92,42 @@ def write_mjpeg_avi(path: str, frames, fps: int = 30,
     return path
 
 
+def _mp4_cv2(path: str, frames, fps: int) -> str:
+    """MPEG-4 MP4 via OpenCV's bundled encoder (no system ffmpeg
+    needed — opencv wheels ship their own). Frames are RGB uint8."""
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                         fps, (w, h))
+    if not vw.isOpened():
+        raise RuntimeError(f"cv2.VideoWriter failed to open {path}")
+    try:
+        for f in frames:
+            vw.write(f[..., ::-1])  # RGB -> BGR
+    finally:
+        vw.release()
+    return path
+
+
 def save_video(path: str, frames, fps: int = 30, log=print) -> str:
-    """Best-available encode: MP4 via imageio/ffmpeg when an encoder
-    exists, else MJPEG AVI (always works). Returns the path written
-    (extension may change from .mp4 to .avi)."""
+    """Best-available encode for an MP4 target, in order: imageio's
+    ffmpeg plugin, OpenCV's bundled MPEG-4 encoder, MJPEG AVI (always
+    works, zero deps). Returns the path written (extension may change
+    from .mp4 to .avi only if every MP4 encoder is unavailable). The
+    reference force-keeps .mp4 artifacts (/root/reference/.gitignore:
+    31-40); the cv2 fallback makes that achievable without a system
+    ffmpeg."""
     if path.endswith(".mp4"):
         try:
             import imageio
 
             imageio.mimsave(path, frames, fps=fps)
             return path
+        except Exception:
+            pass
+        try:
+            return _mp4_cv2(path, frames, fps)
         except Exception:
             path = path[:-4] + ".avi"
     elif not path.endswith(".avi"):

@@ -72,8 +72,26 @@ def test_frames_decode_roundtrip(tmp_path):
 
 def test_save_video_falls_back_to_avi(tmp_path):
     # No ffmpeg in this image: asking for .mp4 must still produce a
-    # playable file (the .avi fallback), not raise.
+    # playable file (cv2-encoded .mp4 or the .avi fallback), not raise.
     out = save_video(str(tmp_path / "anim.mp4"), _frames(3), fps=5)
     assert out.endswith((".mp4", ".avi"))
-    assert open(out, "rb").read(4) in (b"RIFF", b"\x00\x00\x00\x18",
-                                       b"\x00\x00\x00 ")
+    head = open(out, "rb").read(12)
+    assert head[:4] == b"RIFF" or head[4:8] == b"ftyp"
+
+
+def test_save_video_mp4_decodes_roundtrip(tmp_path):
+    # With OpenCV present (this image bundles its own encoder), the MP4
+    # path must produce a real, decodable MPEG-4 file.
+    cv2 = pytest.importorskip("cv2")
+    frames = _frames(6)
+    out = save_video(str(tmp_path / "anim.mp4"), frames, fps=10)
+    assert out.endswith(".mp4")
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == len(frames)
+    ok, fr = cap.read()
+    cap.release()
+    assert ok and fr.shape == frames[0].shape
+    # BGR -> RGB; lossy codec, mean error stays small.
+    dec = fr[..., ::-1].astype(int)
+    assert np.mean(np.abs(dec - frames[0].astype(int))) < 12.0
