@@ -147,6 +147,15 @@ class SolverControls:
                                  # dt <= factor * sqrt((rho1+rho2) h_min^3
                                  # / (4 pi sigma)); active only when
                                  # sigma != 0. 0 disables.
+    fct_bf16: bool = True        # bf16 λ/antidiffusive-flux streams in
+                                 # the fused MULES FCT pipeline (pallas
+                                 # paths only; jnp fallback stays f32).
+                                 # λ is a [0,1] limiter weight and the
+                                 # antidiffusive flux a correction term —
+                                 # α, bounds and low-order fluxes stay
+                                 # f32, so mass telescoping is exact and
+                                 # boundedness is enforced by the final
+                                 # f32 clip. OFTPP_FCT_BF16=0 disables.
     mom_pallas: bool | None = None  # fused momentum-RHS kernel
                                  # (ops/pallas/momentum_rhs.py). None =
                                  # follow use_pallas (measured +16% on

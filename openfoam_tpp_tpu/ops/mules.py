@@ -104,7 +104,7 @@ def _div(fluxes, spacing):
 
 
 def _fct_limited(alpha_n, alpha_low, antis, dt, spacing, inv_vol, fluid,
-                 n_iters, use_pallas=False):
+                 n_iters, use_pallas=False, fct_bf16=False):
     """Iterative Zalesak limiter: returns the LIMITED antidiffusive
     fluxes λ·anti (face layout) after `n_iters` iterations."""
     hx, hy, hz = spacing
@@ -124,11 +124,20 @@ def _fct_limited(alpha_n, alpha_low, antis, dt, spacing, inv_vol, fluid,
         # launches. Deleted per win-or-delete; git history @ 80f202c.)
         dt_iv = dt * inv_vol
         cell_antis = (antis[0][:-1], antis[1][:, :-1], antis[2][:, :, :-1])
-        lams = tuple(jnp.zeros_like(alpha_low) for _ in range(3))
+        # bf16 λ/anti streams halve the limiter's HBM traffic (its
+        # dominant cost: 6 face arrays × n_iters passes). Sound because
+        # λ ∈ [0,1] is a limiter weight and anti is a CORRECTION flux;
+        # bounds/α stay f32 and the final α update clips to [0,1] — mass
+        # telescoping is exact either way (one value per face).
+        lam_dt = jnp.bfloat16 if fct_bf16 else alpha_low.dtype
+        cell_antis = tuple(a.astype(lam_dt) for a in cell_antis)
+        lams = tuple(jnp.zeros(alpha_low.shape, lam_dt) for _ in range(3))
         for _ in range(n_iters):
             lams = mf.fct_iter(lams, cell_antis, alpha_low, amax,
                                amin, dt_iv, spacing)
-        lim = tuple(l * a for l, a in zip(lams, cell_antis))
+        f32 = alpha_low.dtype
+        lim = tuple(l.astype(f32) * a.astype(f32)
+                    for l, a in zip(lams, cell_antis))
         zx = jnp.zeros_like(lim[0][:1])
         zy = jnp.zeros_like(lim[1][:, :1])
         zz = jnp.zeros_like(lim[2][:, :, :1])
@@ -185,6 +194,7 @@ def advect_alpha(
     n_subcycles=3,
     n_limiter_iters=3,
     use_pallas=False,
+    fct_bf16=False,
 ):
     """Advance alpha over `dt` with `n_subcycles` FCT sub-steps.
 
@@ -209,12 +219,16 @@ def advect_alpha(
             and u_cs is not None
             and mfx.supported(alpha.shape, alpha.dtype)
         )
+    fct_bf16 = bool(fct_bf16) and use_pallas
     if use_flux_kernel:
         # Cell lower-face layout views (the kernel's native layout; the
         # dropped global upper-boundary faces are wall-zeros / the
         # top plane rewritten by _apply_top_bc below either way).
+        uc_dt = jnp.bfloat16 if fct_bf16 else alpha.dtype
         phis_cell = (phi[0][:-1], phi[1][:, :-1], phi[2][:, :, :-1])
-        ucs_cell = (u_cs[0][:-1], u_cs[1][:, :-1], u_cs[2][:, :, :-1])
+        ucs_cell = tuple(
+            u.astype(uc_dt)
+            for u in (u_cs[0][:-1], u_cs[1][:, :-1], u_cs[2][:, :, :-1]))
 
     def _cell_to_faces(arrs):
         """Re-append the implicit zero upper-boundary plane per axis."""
@@ -228,7 +242,9 @@ def advect_alpha(
     def subcycle(carry, _):
         a, flux_acc = carry
         if use_flux_kernel:
-            lows_c, antis_c = mfx.flux_all(a, phis_cell, ucs_cell)
+            lows_c, antis_c = mfx.flux_all(
+                a, phis_cell, ucs_cell,
+                anti_dtype=jnp.bfloat16 if fct_bf16 else None)
             lows = _cell_to_faces(lows_c)
             antis = _cell_to_faces(antis_c)
         else:
@@ -241,7 +257,7 @@ def advect_alpha(
         a_low = a - dt_sub * inv_vol * _div(lows, spacing)
         limited = _fct_limited(a, a_low, antis, dt_sub, spacing, inv_vol,
                                fluid, n_limiter_iters,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, fct_bf16=fct_bf16)
         a_new = a_low - dt_sub * inv_vol * _div(limited, spacing)
         a_new = jnp.where(fluid, jnp.clip(a_new, 0.0, 1.0), 0.0)
         flux_acc = tuple(

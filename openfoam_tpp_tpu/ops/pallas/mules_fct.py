@@ -56,13 +56,18 @@ def _kernel(hx, hy, hz, n_eps,
     n = pl.num_programs(0)
     s = ox.shape[0]
     ny, nz = ox.shape[1], ox.shape[2]
-    # Materialize the block refs (Pallas refs are not arrays).
+    # Materialize the block refs (Pallas refs are not arrays). The λ/anti
+    # face streams may arrive bf16 (the FCT pipeline's bandwidth lever —
+    # the limiter clamps λ to [0,1] and the antidiffusive flux is a
+    # correction term); ALL arithmetic below runs in the cell dtype (f32).
+    f32 = al_c.dtype
     (lx_m, lx_c, lx_p, ly_m, ly_c, ly_p, lz_m, lz_c, lz_p,
-     ax_m, ax_c, ax_p, ay_m, ay_c, ay_p, az_m, az_c, az_p,
-     al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c) = (
-        r[...] for r in (
+     ax_m, ax_c, ax_p, ay_m, ay_c, ay_p, az_m, az_c, az_p) = (
+        r[...].astype(f32) for r in (
             lx_m, lx_c, lx_p, ly_m, ly_c, ly_p, lz_m, lz_c, lz_p,
-            ax_m, ax_c, ax_p, ay_m, ay_c, ay_p, az_m, az_c, az_p,
+            ax_m, ax_c, ax_p, ay_m, ay_c, ay_p, az_m, az_c, az_p))
+    (al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c) = (
+        r[...] for r in (
             al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c))
     # Zero the next-plane view on the last grid step (implicit zero
     # boundary face beyond the domain).
@@ -131,7 +136,7 @@ def _kernel(hx, hy, hz, n_eps,
 
     # x faces: left cell = ext[c], right cell = ext[c+1].
     ox[:, :, :] = upd(lx_c, rxl[1:], r_plus[:s], r_plus[1:],
-                      r_minus[:s], r_minus[1:])
+                      r_minus[:s], r_minus[1:]).astype(ox.dtype)
     # y faces: within-slab shift (edge clamp harmless — zero antis there).
     rp_s, rm_s = r_plus[1:], r_minus[1:]
 
@@ -141,8 +146,10 @@ def _kernel(hx, hy, hz, n_eps,
     def dn_z(a):
         return jnp.concatenate([a[:, :, :1], a[:, :, : nz - 1]], 2)
 
-    oy[:, :, :] = upd(ly_c, ryl[1:], dn_y(rp_s), rp_s, dn_y(rm_s), rm_s)
-    oz[:, :, :] = upd(lz_c, rzl[1:], dn_z(rp_s), rp_s, dn_z(rm_s), rm_s)
+    oy[:, :, :] = upd(ly_c, ryl[1:], dn_y(rp_s), rp_s,
+                      dn_y(rm_s), rm_s).astype(oy.dtype)
+    oz[:, :, :] = upd(lz_c, rzl[1:], dn_z(rp_s), rp_s,
+                      dn_z(rm_s), rm_s).astype(oz.dtype)
 
 
 @functools.partial(jax.jit,
@@ -182,7 +189,7 @@ def fct_iter(lams, antis, alpha_low, amax, amin, dt_iv, spacing,
         grid=(nblocks,),
         in_specs=face_specs + cell_specs,
         out_specs=[blk(), blk(), blk()],
-        out_shape=[jax.ShapeDtypeStruct(alpha_low.shape, alpha_low.dtype)
+        out_shape=[jax.ShapeDtypeStruct(alpha_low.shape, lams[0].dtype)
                    for _ in range(3)],
         interpret=interpret,
     )(*face_args, *cell_args)

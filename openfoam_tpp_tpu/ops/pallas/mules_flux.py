@@ -61,6 +61,7 @@ def _kernel(a_m2, a_m1, a_c, a_p1, phx, phy, phz, ucx, ucy, ucz,
 
     def fluxes(phi, uc, lo_donor, hi_donor, fl, fr):
         """(low, anti) from donor values and MUSCL face reconstructions."""
+        uc = uc.astype(phi.dtype)  # bf16 compression flux upcast in-VMEM
         low = phi * jnp.where(phi >= 0.0, lo_donor, hi_donor)
         high = phi * jnp.where(phi >= 0.0, fl, fr)
         ac = jnp.where(uc >= 0.0, fl, fr)
@@ -77,7 +78,9 @@ def _kernel(a_m2, a_m1, a_c, a_p1, phx, phy, phz, ucx, ucy, ucz,
     t = ae[2 : s + 2]
     fl = b + 0.5 * _limited(D[:s], D[1 : s + 1])
     fr = t - 0.5 * _limited(D[2 : s + 2], D[1 : s + 1])
-    olx[:, :, :], oax[:, :, :] = fluxes(phx, ucx, b, t, fl, fr)
+    low_x, anti_x = fluxes(phx, ucx, b, t, fl, fr)
+    olx[:, :, :] = low_x
+    oax[:, :, :] = anti_x.astype(oax.dtype)  # bf16 antidiffusive stream
 
     # ---- y/z axes: slab-resident, exactly the jnp edge-clamped shifts.
     def dn(a, ax, n):
@@ -100,17 +103,23 @@ def _kernel(a_m2, a_m1, a_c, a_p1, phx, phy, phz, ucx, ucy, ucz,
         # Face j ↔ cells (j−1, j): donor-below values arrive via the
         # same edge-clamped down-shift (face 0 clamp is harmless — wall
         # apertures zero phi there).
-        ol[:, :, :], oa[:, :, :] = fluxes(
+        low, anti = fluxes(
             phi, uc, dn(a, ax, n), a, dn(up_plus, ax, n), up_minus)
+        ol[:, :, :] = low
+        oa[:, :, :] = anti.astype(oa.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flux_all(alpha, phis, ucs, interpret=False):
+@functools.partial(jax.jit, static_argnames=("anti_dtype", "interpret"))
+def flux_all(alpha, phis, ucs, anti_dtype=None, interpret=False):
     """All-axis (low, anti) MULES fluxes in one fused pass.
 
     `phis`/`ucs`: per-axis volumetric / compression fluxes in CELL
     lower-face layout (face arrays sliced [:-1] along their axis).
-    Returns (lows, antis) tuples in the same layout.
+    Returns (lows, antis) tuples in the same layout. `ucs` may be bf16
+    (upcast in-VMEM). `anti_dtype` (e.g. bf16) narrows the antidiffusive
+    outputs — the FCT limiter's dominant HBM stream; the low-order
+    fluxes stay full precision so the bulk advection (and mass
+    telescoping accuracy) is unchanged.
     """
     nx, ny, nz = alpha.shape
     assert nx % SLAB == 0
@@ -129,13 +138,15 @@ def flux_all(alpha, phis, ucs, interpret=False):
     a_m1 = plane(lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0))
     a_p1 = plane(lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0))
 
+    a_dt = anti_dtype or alpha.dtype
     out = pl.pallas_call(
         _kernel,
         grid=(nblocks,),
         in_specs=[a_m2, a_m1, blk(), a_p1] + [blk() for _ in range(6)],
         out_specs=[blk() for _ in range(6)],
-        out_shape=[jax.ShapeDtypeStruct(alpha.shape, alpha.dtype)
-                   for _ in range(6)],
+        out_shape=[jax.ShapeDtypeStruct(alpha.shape,
+                                        a_dt if i % 2 else alpha.dtype)
+                   for i in range(6)],
         interpret=interpret,
     )(alpha, alpha, alpha, alpha, *phis, *ucs)
     lx, ax_, ly, ay_, lz, az_ = out

@@ -57,6 +57,17 @@ def _mom_pallas_enabled(controls: SolverControls) -> bool:
     return controls.use_pallas
 
 
+def _fct_bf16_enabled(controls: SolverControls) -> bool:
+    """bf16 FCT streams (config.py fct_bf16). OFTPP_FCT_BF16=0/1
+    overrides — read at trace time so A/B arms can flip per-process."""
+    import os
+
+    env = os.environ.get("OFTPP_FCT_BF16")
+    if env is not None:
+        return env == "1"
+    return controls.fct_bf16
+
+
 class StepDiagnostics(NamedTuple):
     """Per-step scalars (the reference's solver-log numbers)."""
 
@@ -223,6 +234,7 @@ def make_step_core(
             n_subcycles=controls.n_alpha_subcycles,
             n_limiter_iters=controls.n_limiter_iters,
             use_pallas=controls.use_pallas,
+            fct_bf16=_fct_bf16_enabled(controls),
         )
 
         rho_old = mixture_density(state.alpha, props)
