@@ -46,7 +46,13 @@ _JACOBI_OMEGA = 0.8
 # scripts/cg_tuning.py): sweeps per smoothing pass, smoother family,
 # Chebyshev window, cycle shape, coarsest-level effort, precond dtype.
 _COARSEST_SWEEPS = int(_os.environ.get("OFTPP_COARSEST_SWEEPS", "24"))
-_SMOOTH_SWEEPS = int(_os.environ.get("OFTPP_SMOOTH_SWEEPS", "2"))
+_SMOOTH_SWEEPS = int(_os.environ.get("OFTPP_SMOOTH_SWEEPS", "1"))
+#   r4 TPU A/B (/tmp/ab_knobs.log, 112³ steady window): sweeps=1 +
+#   L1 gamma=2 → 199.5M cell-updates/s vs 183.7M for the old
+#   sweeps=2 + gamma=1 default (+8.6%); CG iterations rise 8-10 →
+#   9-11 but each V-cycle sheds half its smoothing passes. Note
+#   sweeps=1 bypasses the fused cheb2 kernels (degree-2 only) — the
+#   cheaper cycle still wins.
 _SMOOTHER = _os.environ.get("OFTPP_SMOOTHER", "chebyshev")
 #   'chebyshev' (degree = _SMOOTH_SWEEPS) | 'jacobi'
 _CHEB_LMAX = float(_os.environ.get("OFTPP_CHEB_LMAX", "2.0"))
@@ -55,10 +61,13 @@ _CHEB_LMIN_FRAC = float(_os.environ.get("OFTPP_CHEB_LMIN", "0.25"))
 #   smooth the upper (1 − frac) of the spectrum
 _FUSED_CHEB = _os.environ.get("OFTPP_FUSED_CHEB", "1") != "0"
 #   one-pass Pallas degree-2 Chebyshev smoother on kernel levels
-_MG_L1_GAMMA = int(_os.environ.get("OFTPP_MG_L1_GAMMA", "1"))
+_MG_L1_GAMMA = int(_os.environ.get("OFTPP_MG_L1_GAMMA", "2"))
 #   coarse-correction visits at the FIRST coarse level only (a W-shape
 #   confined to the 1/8-traffic 56³ level; the full W-cycle that
 #   repeated TOP-level passes measured 38% slower and was deleted)
+_MG_DEEP_GAMMA = int(_os.environ.get("OFTPP_MG_DEEP_GAMMA", "1"))
+#   coarse-correction visits at every level BELOW L1 (1/64-and-down
+#   traffic — W-shapes there are nearly free; knob for A/B)
 
 
 @dataclasses.dataclass
@@ -320,7 +329,7 @@ def _vcycle(levels, li, b):
     # surviving variant is _MG_L1_GAMMA: repeat the correction at THIS
     # hierarchy's entry level only (li == 0 is the first coarse level,
     # 1/8 the top's traffic), smoothing between visits.
-    gamma = _MG_L1_GAMMA if li == 0 else 1
+    gamma = _MG_L1_GAMMA if li == 0 else _MG_DEEP_GAMMA
     for g in range(max(gamma, 1)):
         if g:
             x = _smooth(level, x, b, _SMOOTH_SWEEPS)
