@@ -68,11 +68,11 @@ def action_video(case_dir: str) -> bool:
     return generate_video(case_dir)
 
 
-def action_run(case_dir: str, devices: int | None = None) -> bool:
+def action_run(case_dir: str, devices=None) -> bool:
     from openfoam_tpp_tpu.manager.runner import run_case
 
     print(f"  🚀 Running {os.path.basename(case_dir)} ..."
-          + (f" ({devices}-device x-sharded)" if devices and devices > 1
+          + (f" ({devices}-device sharded)" if devices not in (None, 1)
              else ""))
     run_case(case_dir, devices=devices)
     return True
@@ -379,9 +379,11 @@ def main(argv=None):
                     help="submit the action as a Slurm job instead of "
                          "running it in-process (run_case_oscar parity)")
     ap.add_argument("--partition", default="tpu", help="Slurm partition")
-    ap.add_argument("--devices", type=int, default=None,
+    ap.add_argument("--devices", type=str, default=None,
                     help="shard the run over N devices (jax.sharding mesh "
-                         "— decomposePar/mpirun/reconstructPar parity; "
+                         "— decomposePar/mpirun/reconstructPar parity), or "
+                         "'NxM' for a 2-D x·y spatial decomposition "
+                         "(hierarchical-n decomposeParDict analog); "
                          "provision virtual devices for testing with "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     args = ap.parse_args(argv)

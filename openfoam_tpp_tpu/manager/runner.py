@@ -93,13 +93,13 @@ def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE,
 
 
 def build_case_geometry(params: dict, shape_hint: tuple | None = None,
-                        devices: int | None = None):
+                        devices=None):
     """Geometry for a case. `shape_hint` (from an existing checkpoint's
     alpha shape) keeps resumed/postprocessed cases consistent with the
     grid they were started on, across round_to policy changes.
-    `devices`: the grid's x extent must divide the device-mesh axis for
-    sharded runs — rounds nx up (with solid zero-aperture padding) when
-    8-rounding alone does not."""
+    `devices` (int N or 'NxM'): the grid's x (and y) extents must divide
+    the device-mesh axes for sharded runs — rounds nx/ny up (with solid
+    zero-aperture padding) when 8-rounding alone does not."""
     if params.get("model") == "tank6dof":
         from openfoam_tpp_tpu.mesh import build_box_geometry
 
@@ -107,13 +107,16 @@ def build_case_geometry(params: dict, shape_hint: tuple | None = None,
             params["Lx"], params["Ly"], params["Lz"], params["mesh"],
             z0=-params["Lz"] / 2.0, open_top=False,
         )
+    from openfoam_tpp_tpu.parallel.sharding import parse_devices
+
+    dx, dy = parse_devices(devices)
     # round_to=8: nx/ny padded (with solid, zero-aperture cells) to a
     # multiple of 8 — aligns TPU tiles and enables the Pallas kernels.
     rounds = [8, 1]
-    if devices and devices > 1:
+    if dx * dy > 1:
         import math
 
-        rounds = [math.lcm(8, devices)] + rounds
+        rounds = [math.lcm(8, max(dx, dy))] + rounds
     for r in rounds:
         geom = build_tank_geometry(
             H=params["H"], D=params["D"], mesh=params["mesh"],
@@ -121,12 +124,13 @@ def build_case_geometry(params: dict, shape_hint: tuple | None = None,
         )
         if shape_hint is not None and tuple(geom.shape) != tuple(shape_hint):
             continue
-        if devices and devices > 1 and geom.shape[0] % devices:
+        if dx * dy > 1 and (geom.shape[0] % dx or geom.shape[1] % dy):
             continue
         return geom
     raise ValueError(
         f"no geometry for {params} matches checkpoint grid {shape_hint}"
-        + (f" with nx divisible by {devices} devices" if devices else "")
+        + (f" with (nx, ny) divisible by ({dx}, {dy}) devices"
+           if devices else "")
         + " — was the case built with different parameters?"
     )
 
@@ -202,10 +206,14 @@ def _sharded_wrappers(step, mesh, sampler=None, sample_width: int = 0):
 
 def get_compiled_advance(params: dict, props: PhysicalProperties,
                          controls: SolverControls, case_dir: str | None = None,
-                         devices: int | None = None):
-    """Returns (geom, advance, to_dev, to_host). `devices > 1` shards the
-    case's x axis over a device mesh (manager `--devices N`)."""
-    n_dev = int(devices) if devices else 1
+                         devices=None):
+    """Returns (geom, advance, to_dev, to_host). `devices` (int N or
+    'NxM') shards the case's x (and y) axes over a device mesh (manager
+    `--devices N[xM]`)."""
+    from openfoam_tpp_tpu.parallel.sharding import parse_devices
+
+    d_x, d_y = parse_devices(devices)
+    n_dev = d_x * d_y
     if params.get("model") == "tank6dof":
         # Table-driven motion is baked into the compiled step — keyed by
         # the case directory (table identity).
@@ -217,13 +225,13 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
             props, controls,
         )
     shape_hint = _case_shape_hint(case_dir) if case_dir else None
-    key = key + (shape_hint, n_dev)
+    key = key + (shape_hint, d_x, d_y)
     hit = _ADVANCE_CACHE.get(key)
     if hit is None:
         import dataclasses
 
         geom = build_case_geometry(params, shape_hint,
-                                   devices=n_dev if n_dev > 1 else None)
+                                   devices=devices if n_dev > 1 else None)
         if (jax.default_backend() == "tpu" and geom.shape[0] % 8 == 0
                 and n_dev == 1):
             # The fused stencil kernels are single-device programs; under
@@ -249,7 +257,7 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
         if n_dev > 1:
             from openfoam_tpp_tpu.parallel import sharding as sh
 
-            mesh = sh.make_mesh(n_dev, case_axis=1)
+            mesh = sh.make_mesh(n_dev, case_axis=1, y_axis=d_y)
             advance, to_dev, to_host = _sharded_wrappers(
                 step, mesh, sampler=sampler, sample_width=width)
         else:
@@ -268,14 +276,16 @@ def run_case(
     controls: SolverControls = SolverControls(),
     log=print,
     write_checkpoints: bool = True,
-    devices: int | None = None,
+    devices=None,
 ) -> dict:
     """Run (or resume) a case to its encoded duration. Returns run stats.
 
-    `devices > 1`: shard the grid's x axis over that many devices
-    (`jax.sharding` mesh — the in-process replacement for the reference's
-    decomposePar → mpirun -np N → reconstructPar pipeline). Checkpoints,
-    probes and resume work identically: state is written globally."""
+    `devices` (int N, or 'NxM' for a 2-D x·y decomposition): shard the
+    grid's spatial axes over that many devices (`jax.sharding` mesh — the
+    in-process replacement for the reference's decomposePar → mpirun -np N
+    → reconstructPar pipeline; 'NxM' is the hierarchical-n analog).
+    Checkpoints, probes and resume work identically: state is written
+    globally."""
     # FPE-trap parity (OpenFOAM's `sigFpe: Enabling floating point
     # exception trapping`, circularSloshingTank/result.txt:17):
     # OFTPP_DEBUG_NANS=1 makes jax raise on the first NaN produced by
@@ -291,8 +301,8 @@ def run_case(
     log(f"  Mesh: {geom.shape[0]}x{geom.shape[1]}x{geom.shape[2]} grid, "
         f"{n_cells} fluid cells (h={params['mesh']:g} m, "
         f"geo={params.get('geo', geom.geo)})"
-        + (f", x-sharded over {devices} devices" if devices and devices > 1
-           else ""))
+        + (f", sharded over {devices} devices (x·y)"
+           if devices not in (None, 1) else ""))
 
     if is_6dof:
         # Motion comes from the compiled-in table; params are inert.

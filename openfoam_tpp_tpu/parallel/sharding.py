@@ -17,8 +17,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, case_axis: int = 1,
-              devices=None) -> Mesh:
-    """Device mesh with axes (case, x). case_axis=1 → purely spatial."""
+              y_axis: int = 1, devices=None) -> Mesh:
+    """Device mesh with axes (case, x, y).
+
+    case_axis=1, y_axis=1 → purely x-spatial (1-D decomposition, the
+    default); y_axis>1 adds the second spatial axis — the analog of the
+    reference's hierarchical multi-axis decomposePar layout
+    (/root/reference/sloshingTank3D6DoF/system/decomposeParDict:19-29,
+    n=(4 2 2)). The x shard count is whatever remains:
+    n_devices / (case_axis · y_axis)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
@@ -31,32 +38,50 @@ def make_mesh(n_devices: int | None = None, case_axis: int = 1,
             "XLA_FLAGS=--xla_force_host_platform_device_count=N plus "
             "jax.config.update('jax_platforms', 'cpu') before first use"
         )
-    if n_devices % case_axis:
+    if n_devices % (case_axis * y_axis):
         raise ValueError(
-            f"make_mesh: case_axis={case_axis} does not divide "
-            f"n_devices={n_devices}"
+            f"make_mesh: case_axis={case_axis} * y_axis={y_axis} does not "
+            f"divide n_devices={n_devices}"
         )
     devices = np.asarray(devices[:n_devices])
-    spatial = n_devices // case_axis
-    return Mesh(devices.reshape(case_axis, spatial), ("case", "x"))
+    x_axis = n_devices // (case_axis * y_axis)
+    return Mesh(devices.reshape(case_axis, x_axis, y_axis),
+                ("case", "x", "y"))
+
+
+def parse_devices(spec) -> tuple[int, int]:
+    """(x_shards, y_shards) from a --devices spec: an int N (x-only, the
+    1-D default) or a string 'NxM' for a 2-D (x, y) spatial decomposition
+    (decomposeParDict hierarchical-n analog)."""
+    if spec is None:
+        return 1, 1
+    if isinstance(spec, int):
+        return max(spec, 1), 1
+    s = str(spec).lower().replace("×", "x")
+    if "x" in s:
+        dx, dy = s.split("x", 1)
+        return max(int(dx), 1), max(int(dy), 1)
+    return max(int(s), 1), 1
 
 
 def state_sharding(mesh: Mesh, batched: bool = False):
     """NamedSharding pytree for PackedState (uniform cell-shaped fields —
-    see parallel/packed.py): fields sharded on their leading spatial axis,
-    scalars replicated; with `batched`, the vmap axis maps to the `case`
-    mesh axis."""
+    see parallel/packed.py): fields sharded on their (x, y) spatial axes
+    (y trivially when the mesh has no y extent), scalars replicated; with
+    `batched`, the vmap axis maps to the `case` mesh axis."""
     from openfoam_tpp_tpu.parallel.packed import PackedState
 
     lead = ("case",) if batched else ()
+    spatial = ("x", "y") if "y" in mesh.axis_names else ("x",)
 
     def fld(*spec):
         return NamedSharding(mesh, P(*lead, *spec))
 
     scalar = NamedSharding(mesh, P(*lead))
     return PackedState(
-        alpha=fld("x"), u=fld("x"), v=fld("x"), w=fld("x"), w_top=fld("x"),
-        p=fld("x"), t=scalar, dt=scalar, step=scalar,
+        alpha=fld(*spatial), u=fld(*spatial), v=fld(*spatial),
+        w=fld(*spatial), w_top=fld(*spatial),
+        p=fld(*spatial), t=scalar, dt=scalar, step=scalar,
     )
 
 

@@ -88,3 +88,45 @@ def test_sharded_sweep_matches_unsharded():
     )
     np.testing.assert_allclose(
         np.asarray(out_states.t), np.asarray(ref_states.t), rtol=1e-6)
+
+
+def test_sharded_3axis_matches_unsharded():
+    """(case=2, x=2, y=2) — the 2-D spatial decomposition (hierarchical-n
+    decomposeParDict analog, VERDICT r3 item 3)."""
+    assert jax.device_count() >= 8
+    mesh = sh.make_mesh(8, case_axis=2, y_axis=2)
+    assert mesh.devices.shape == (2, 2, 2)
+
+    geom = _tiny_geom(n_x_shards=2)
+    assert geom.shape[0] % 2 == 0 and geom.shape[1] % 2 == 0
+    sweep_step = make_sweep_step(geom, PhysicalProperties(), _CONTROLS)
+
+    rows = [
+        {"R": 0.001 + 0.001 * i, "freq": 2.0 + i, "duration": 1.0}
+        for i in range(4)
+    ]
+    params = batch_params(rows)
+    states = batch_states(geom, len(rows))
+    ref_states, _ = jax.jit(sweep_step)(states, params)
+
+    stepped = sh.sharded_step(sweep_step, mesh, batched=True)
+    ps = jax.device_put(pk.pack(states), sh.state_sharding(mesh, batched=True))
+    pp = jax.device_put(params, sh.params_sharding(mesh, batched=True))
+    out_states = pk.unpack(stepped(ps, pp)[0])
+
+    np.testing.assert_allclose(
+        np.asarray(out_states.alpha), np.asarray(ref_states.alpha),
+        rtol=0, atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_states.w), np.asarray(ref_states.w),
+        rtol=0, atol=5e-5,
+    )
+
+
+def test_parse_devices():
+    assert sh.parse_devices(None) == (1, 1)
+    assert sh.parse_devices(4) == (4, 1)
+    assert sh.parse_devices("8") == (8, 1)
+    assert sh.parse_devices("4x2") == (4, 2)
+    assert sh.parse_devices("2X2") == (2, 2)
