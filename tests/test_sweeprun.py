@@ -63,3 +63,48 @@ def test_runsweep_end_to_end_and_resume(tmp_path):
     for d in dirs:
         chks = sorted(glob.glob(os.path.join(d, "chk_t*.npz")))
         assert len(chks) == 3
+
+
+def test_percase_dt_solo_parity(tmp_path):
+    """--percase-dt (lockstep=False): each lane advances on its OWN
+    adaptive dt with masked holds at write targets (VERDICT r3 item 7).
+    The lax (weakly forced) case takes measurably fewer steps than the
+    stiff one, and its physics matches a SOLO run of the same case."""
+    from openfoam_tpp_tpu.manager.runner import run_case
+    from openfoam_tpp_tpu.manager.sweeprun import run_cases_batched
+
+    lax_row = {"H": 0.04, "D": 0.02, "mesh": 0.004, "geo": "flat",
+               "R": 0.0005, "freq": 1.0, "duration": 0.1, "dt": 5e-4,
+               "ramp": 0.02}
+    stiff_row = {**lax_row, "R": 0.004, "freq": 6.0}
+
+    batch = [case_mgr.setup_case(r, str(tmp_path / "batch"))
+             for r in (lax_row, stiff_row)]
+    run_cases_batched(batch, log=lambda *a: None, lockstep=False)
+
+    steps = []
+    for d in batch:
+        payload = np.load(sorted(glob.glob(os.path.join(d, "chk_t*.npz")))[-1])
+        assert abs(float(payload["t"]) - 0.1) < 1e-6
+        steps.append(int(payload["step"]))
+    lax_steps, stiff_steps = steps
+    assert lax_steps < stiff_steps, steps
+
+    # Solo-run parity for the lax lane: the same dt trajectory as a
+    # standalone run (the whole point of per-case dt).
+    solo = case_mgr.setup_case(lax_row, str(tmp_path / "solo"))
+    run_case(solo, log=lambda *a: None)
+    sp = np.load(sorted(glob.glob(os.path.join(solo, "chk_t*.npz")))[-1])
+    assert int(sp["step"]) == lax_steps
+    bp = np.load(sorted(glob.glob(os.path.join(batch[0], "chk_t*.npz")))[-1])
+    np.testing.assert_allclose(bp["alpha"], sp["alpha"], rtol=0, atol=2e-5)
+
+    # Lockstep control: both lanes forced to the batch-min dt -> equal,
+    # stiff-paced step counts.
+    batch2 = [case_mgr.setup_case(r, str(tmp_path / "lock"))
+              for r in (lax_row, stiff_row)]
+    run_cases_batched(batch2, log=lambda *a: None, lockstep=True)
+    lock_steps = [
+        int(np.load(sorted(glob.glob(os.path.join(d, "chk_t*.npz")))[-1])
+            ["step"]) for d in batch2]
+    assert lock_steps[0] == lock_steps[1] >= stiff_steps
