@@ -156,6 +156,16 @@ class SolverControls:
                                  # f32, so mass telescoping is exact and
                                  # boundedness is enforced by the final
                                  # f32 clip. OFTPP_FCT_BF16=0 disables.
+    csf_curvature: str = "blend"  # CSF curvature estimator: "blend"
+                                 # (default) mixes column height-function
+                                 # curvature (near-horizontal interface,
+                                 # ~2nd-order — the capillary thin-layer
+                                 # regime) with smoothed-VoF (vertical /
+                                 # overturning interfaces, where a z
+                                 # height function is undefined); "vof"
+                                 # forces the r3 smoothed-VoF estimator;
+                                 # "hf" forces pure height-function.
+                                 # solver/momentum.py curvature().
     mom_pallas: bool | None = None  # fused momentum-RHS kernel
                                  # (ops/pallas/momentum_rhs.py). None =
                                  # follow use_pallas (measured +16% on

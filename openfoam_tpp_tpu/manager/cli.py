@@ -89,23 +89,39 @@ def action_profile(case_dir: str) -> bool:
     return True
 
 
-def action_runsweep(case_dirs: list[str], lockstep: bool = True) -> bool:
+def action_runsweep(case_dirs: list[str], lockstep: bool = True,
+                    devices=None) -> bool:
     """Run many cases as vmapped batches (manager/sweeprun.py) — the
     in-process replacement for per-case Slurm job farming
     (/root/reference/main.py:599-608). `lockstep=False` (--percase-dt)
-    gives every lane its own adaptive dt (solo-run parity)."""
+    gives every lane its own adaptive dt (solo-run parity).
+
+    `devices=N` farms each batch over an N-device case-axis mesh (zero
+    halo traffic — the multi-chip sweep path, VERDICT r3 item 2c); a
+    group remainder that does not divide N runs unsharded."""
     from openfoam_tpp_tpu.manager.sweeprun import (
         group_cases,
         run_cases_batched,
     )
+    from openfoam_tpp_tpu.parallel.sharding import parse_devices
+
+    d_x, d_y = parse_devices(devices)
+    n_dev = d_x * d_y
 
     for group in group_cases(case_dirs):
-        if len(group) == 1:
-            action_run(group[0])
-        else:
-            print(f"  🚀 Batched run: {len(group)} cases in one program"
-                  + ("" if lockstep else " (per-case dt)"))
-            run_cases_batched(group, lockstep=lockstep)
+        chunks = [(group, 1)]
+        if n_dev > 1 and len(group) > 1:
+            head = len(group) - (len(group) % n_dev)
+            chunks = ([(group[:head], n_dev)] if head else []) \
+                + ([(group[head:], 1)] if head < len(group) else [])
+        for part, nd in chunks:
+            if len(part) == 1:
+                action_run(part[0])
+            else:
+                print(f"  🚀 Batched run: {len(part)} cases in one program"
+                      + (f" over {nd} devices" if nd > 1 else "")
+                      + ("" if lockstep else " (per-case dt)"))
+                run_cases_batched(part, lockstep=lockstep, devices=nd)
     return True
 
 
@@ -390,7 +406,9 @@ def main(argv=None):
                     help="shard the run over N devices (jax.sharding mesh "
                          "— decomposePar/mpirun/reconstructPar parity), or "
                          "'NxM' for a 2-D x·y spatial decomposition "
-                         "(hierarchical-n decomposeParDict analog); "
+                         "(hierarchical-n decomposeParDict analog); with "
+                         "runsweep, farms the batch case axis across the "
+                         "N devices (zero-halo multi-chip sweep farming); "
                          "provision virtual devices for testing with "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     args = ap.parse_args(argv)
@@ -431,7 +449,8 @@ def main(argv=None):
                 print("Nothing to run.")
                 return 0
             return 0 if action_runsweep(
-                dirs, lockstep=not args.percase_dt) else 1
+                dirs, lockstep=not args.percase_dt,
+                devices=args.devices) else 1
         if args.action == "build6dof":
             overrides = {}
             for kv in filter(None, args.params.split(",")):

@@ -81,10 +81,21 @@ def run_cases_batched(
     log=print,
     axis: int = -1,
     lockstep: bool = True,
+    devices: int = 1,
 ) -> dict:
     """Run one compatible batch of orbital-tank cases to their encoded
     duration, writing per-case checkpoints + probes at every write
-    interval. Returns aggregate stats."""
+    interval. Returns aggregate stats.
+
+    `devices=N` farms the batch over an N-device `case`-axis mesh — the
+    multi-chip replacement for "one Slurm job per case"
+    (/root/reference/main.py:599-608): each chip advances its slice of
+    the lanes with ZERO halo traffic (cases are physically uncoupled;
+    the only collective is the batch-min dt reduction in lockstep mode,
+    and none at all with --percase-dt). Batch, geometry and params
+    arrays shard on their case axis; checkpoints still land per case on
+    disk (reconstructPar eliminated). Requires len(case_dirs) % N == 0
+    (action_runsweep splits the remainder off)."""
     from openfoam_tpp_tpu.post.probes import (
         ProbeWriter,
         default_probe_points,
@@ -102,8 +113,32 @@ def run_cases_batched(
     duration = durations.pop()
     n = len(case_dirs)
 
+    put = None
+    if devices and devices > 1:
+        if n % devices:
+            raise ValueError(
+                f"run_cases_batched: {n} cases do not divide over "
+                f"{devices} devices — split the group first "
+                "(action_runsweep does)")
+        import dataclasses
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from openfoam_tpp_tpu.parallel.sharding import make_mesh
+
+        # Farming layout: the batch axis leads and maps to a flat `case`
+        # device-mesh axis; GSPMD propagates it through the vmapped step.
+        axis = 0
+        mesh = make_mesh(devices, case_axis=devices)
+        case_sh = NamedSharding(mesh, P("case"))
+        put = lambda tree: jax.tree.map(
+            lambda a: jax.device_put(a, case_sh), tree)
+
     bgeom = build_batched_geometry(rows, round_to=4, axis=axis)
     params = batch_params(rows)
+    if put is not None:
+        bgeom = dataclasses.replace(bgeom, ga=put(bgeom.ga))
+        params = put(params)
     sweep_step = make_geom_sweep_step(bgeom, props, controls,
                                       lockstep=lockstep)
 
@@ -121,6 +156,8 @@ def run_cases_batched(
         t_now = 0.0
         for i, d in enumerate(case_dirs):
             save_checkpoint(d, _unpack_case(states, i, axis))
+    if put is not None:
+        states = put(states)
 
     probes = []
     for i, d in enumerate(case_dirs):

@@ -37,6 +37,7 @@ PISO correctors over a lagged H/A.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from openfoam_tpp_tpu.ops import stencil as st
@@ -204,8 +205,13 @@ def smooth_alpha(alpha, n=2):
     return alpha
 
 
-def curvature(alpha, spacing, eps=1e-8, n_smooth=2):
-    """κ = −∇·n̂ from smoothed VoF gradients (cell-centered)."""
+def curvature_vof(alpha, spacing, eps=1e-8, n_smooth=2):
+    """κ = −∇·n̂ from smoothed VoF gradients (cell-centered).
+
+    Resolution-limited: delivers ~60–70% of the true capillary stiffness
+    at ~20 cells/λ with a 1–2 cell interface (VALIDATION.md) — the known
+    CSF/VoF floor. Kept as the estimator for interface orientations a z
+    height function cannot represent (vertical columns, overturning)."""
     hx, hy, hz = spacing
     alpha = smooth_alpha(alpha, n_smooth)
     gx = st.faces_to_cells_avg(st.gradient_at_faces(alpha, 0, hx), 0)
@@ -215,4 +221,81 @@ def curvature(alpha, spacing, eps=1e-8, n_smooth=2):
     nxf = st.cells_to_faces_avg(gx / mag, 0)
     nyf = st.cells_to_faces_avg(gy / mag, 1)
     nzf = st.cells_to_faces_avg(gz / mag, 2)
-    return -st.divergence(nxf, nyf, nzf, spacing)
+    kv = -st.divergence(nxf, nyf, nzf, spacing)
+    return kv, (gx, gy, gz, mag)
+
+
+def curvature_hf(alpha, spacing, vfrac):
+    """Column height-function curvature κ(x, y), broadcast over z.
+
+    The standard VoF curvature fix (Cummins/Francois/Kothe 2005): sum α
+    down each (i, j) column into a liquid height H, then evaluate the
+    exact graph curvature
+        κ = −(H_xx(1+H_y²) + H_yy(1+H_x²) − 2 H_x H_y H_xy) / W³,
+    W = √(1+H_x²+H_y²), with central differences. Because H integrates α
+    over the column, the O(1/h) staircase noise that caps the smoothed-
+    VoF estimator cancels, recovering ≳95% of the true capillary
+    stiffness at the same resolution (tests/test_accuracy_corroboration).
+
+    Sign matches curvature_vof: both are −∇·n̂ with n̂ = ∇α/|∇α| (α = 1
+    below the surface ⇒ n̂ = (H_x, H_y, −1)/W).
+
+    Cut cells: α is the water fraction of each cell's FLUID part
+    (core/state.py init; solid cells carry α = 0), so Σ_k α·hz is the
+    liquid depth directly — including laterally cut wall columns, whose
+    openness is z-uniform in every shipped template. Columns with no
+    fluid cells take their neighbor's H via a zero-gradient (90° contact
+    angle) fallback — the same wall condition the apertures impose on α
+    itself. Assumes a flat floor under the interface band (true for
+    every shipped template: flat, cap, 6DoF box)."""
+    hx, hy, hz = spacing
+    wet = jnp.max(vfrac, axis=2) > 0.0
+    H = jnp.where(wet, jnp.sum(alpha, axis=2) * hz, 0.0)
+
+    nx, ny = H.shape[-2], H.shape[-1]
+    Hp = jnp.pad(H, 1, mode="edge")
+    wp = jnp.pad(wet, 1, constant_values=False)
+
+    def nb(di, dj):
+        v = jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(Hp, 1 + di, nx, axis=0),
+            1 + dj, ny, axis=1)
+        m = jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(wp, 1 + di, nx, axis=0),
+            1 + dj, ny, axis=1)
+        return jnp.where(m, v, H)   # Neumann at walls/domain edges
+
+    He, Hw = nb(1, 0), nb(-1, 0)
+    Hn, Hs = nb(0, 1), nb(0, -1)
+    Hx = (He - Hw) / (2.0 * hx)
+    Hy = (Hn - Hs) / (2.0 * hy)
+    Hxx = (He - 2.0 * H + Hw) / (hx * hx)
+    Hyy = (Hn - 2.0 * H + Hs) / (hy * hy)
+    Hxy = (nb(1, 1) - nb(1, -1) - nb(-1, 1) + nb(-1, -1)) / (4.0 * hx * hy)
+    W2 = 1.0 + Hx * Hx + Hy * Hy
+    k2d = -(Hxx * (1.0 + Hy * Hy) + Hyy * (1.0 + Hx * Hx)
+            - 2.0 * Hx * Hy * Hxy) / (W2 * jnp.sqrt(W2))
+    return jnp.where(wet, k2d, 0.0)[..., None]
+
+
+def curvature(alpha, spacing, vfrac=None, method="blend",
+              eps=1e-8, n_smooth=2):
+    """CSF curvature (cell-centered). method: "blend" (default) weights
+    the height-function estimator by the local interface verticality
+    n_z²/|n|² — pure HF on near-horizontal interfaces (the capillary
+    thin-layer regime HF exists for), pure smoothed-VoF where a z height
+    function is undefined (vertical columns: the static Laplace oracle,
+    test_csf.py). "hf" / "vof" force one estimator."""
+    if method == "hf" and vfrac is not None:
+        k2d = curvature_hf(alpha, spacing, vfrac)
+        return jnp.broadcast_to(k2d, alpha.shape)
+    kv, (gx, gy, gz, mag) = curvature_vof(alpha, spacing, eps, n_smooth)
+    if method == "vof" or vfrac is None:
+        return kv
+    kh = curvature_hf(alpha, spacing, vfrac)
+    # Verticality of the (smoothed) interface normal: 1 on a flat
+    # surface, 0 on a vertical one. Squared ratio already transitions
+    # sharply; the clip ramp makes the pure regimes exact.
+    w = (gz * gz) / (mag * mag)
+    w = jnp.clip((w - 0.25) * 2.0, 0.0, 1.0)
+    return w * kh + (1.0 - w) * kv

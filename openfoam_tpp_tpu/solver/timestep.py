@@ -279,7 +279,8 @@ def make_step_core(
 
         kappa = None
         if props.sigma != 0.0:
-            kappa = mom.curvature(alpha_new, spacing)
+            kappa = mom.curvature(alpha_new, spacing, vfrac=ga["vfrac"],
+                                  method=controls.csf_curvature)
 
         vels = (state.u, state.v, state.w)
         # dev2 transpose stress (fvSchemes:32 parity): ∇·U from the step-n

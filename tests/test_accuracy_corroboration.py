@@ -107,17 +107,17 @@ def test_capillary_gravity_dispersion():
     # Gravity branch at this millimetric scale: sharp (measured +0.7%).
     assert abs(T_grav - T_grav_theory) / T_grav_theory < 0.05, (
         T_grav, T_grav_theory)
-    # Capillary branch: the smoothed-VoF curvature estimator delivers
-    # ~60-70% of the theoretical capillary stiffness at 20 cells/λ with
-    # a 1-2 cell interface (measured +10-13% period across smoothing
-    # settings — the known CSF resolution limit; height-function
-    # curvature would tighten this). Bounds assert the stiffening is
-    # present, right-signed, and resolution-class accurate.
-    assert abs(T_cap - T_cap_theory) / T_cap_theory < 0.15, (
+    # Capillary branch, ABSOLUTE accuracy (VERDICT r3 item 5): with the
+    # blended height-function curvature (solver/momentum.curvature_hf)
+    # the measured period error is +0.95% (the r3 smoothed-VoF estimator
+    # gave +10-13% — its known ~65%-of-stiffness resolution floor at 20
+    # cells/λ). The 5% bar leaves platform wobble room while pinning the
+    # full capillary stiffness, not just its presence.
+    assert abs(T_cap - T_cap_theory) / T_cap_theory < 0.05, (
         T_cap, T_cap_theory)
     ratio, ratio_theory = T_grav / T_cap, T_grav_theory / T_cap_theory
     assert ratio > 1.2, f"capillary stiffening missing (ratio {ratio})"
-    assert abs(ratio - ratio_theory) / ratio_theory < 0.15, (
+    assert abs(ratio - ratio_theory) / ratio_theory < 0.05, (
         ratio, ratio_theory)
 
 
