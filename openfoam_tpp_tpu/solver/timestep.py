@@ -57,6 +57,20 @@ def _mom_pallas_enabled(controls: SolverControls) -> bool:
     return controls.use_pallas
 
 
+def _finish_pallas_enabled(controls: SolverControls) -> bool:
+    """Fused momentum-finish kernel gate (ops/pallas/mom_finish.py).
+    OFTPP_FINISH_PALLAS=1 opts in (awaiting the TPU A/B; parity:
+    tests/test_pallas_finish.py). Applies only where the fused RHS
+    kernel ran AND the sources that the jnp path adds between the
+    density scaling and the wall mask are absent (no rotating frame, no
+    CSF, scalar G)."""
+    import os
+
+    if controls.mom_pallas is False:
+        return False   # structural single-grid pin (vmapped sweeps)
+    return os.environ.get("OFTPP_FINISH_PALLAS") == "1"
+
+
 def _corr_pallas_enabled(controls: SolverControls) -> bool:
     """Fused projection-epilogue kernel gate (velocity correction +
     divergence max in one pass, ops/pallas/correction.py). Default:
