@@ -259,11 +259,14 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
     open_top = bool(np.any(geom.top_open > 0))
 
     if not is_6dof and n_dev == 1:
-        key = (tuple(geom.shape), spacing, open_top, props, controls)
+        sealed_x = bool(np.all(geom.ax[-1] == 0.0))
+        key = (tuple(geom.shape), spacing, open_top, sealed_x,
+               props, controls)
         hit = _ADVANCE_CACHE.get(key)
         if hit is None:
             step = make_step_ga(spacing, props, controls,
-                                open_top=open_top, carry_precond=True)
+                                open_top=open_top, carry_precond=True,
+                                sealed_x=sealed_x)
             from openfoam_tpp_tpu.post.probes import sample_row
 
             width = 1 + len(default_probe_points(geom)) \

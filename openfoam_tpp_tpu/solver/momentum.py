@@ -286,7 +286,14 @@ def curvature(alpha, spacing, vfrac=None, method="blend",
     thin-layer regime HF exists for), pure smoothed-VoF where a z height
     function is undefined (vertical columns: the static Laplace oracle,
     test_csf.py). "hf" / "vof" force one estimator."""
-    if method == "hf" and vfrac is not None:
+    if method == "hf":
+        if vfrac is None:
+            # Fail loudly: silently falling through to the smoothed-VoF
+            # estimator ignored a forced height-function request (ADVICE r4).
+            raise ValueError(
+                "curvature(method='hf') requires vfrac (the cell fluid "
+                "fractions) — the height function integrates alpha over "
+                "wet columns; pass vfrac or use method='vof'/'blend'")
         k2d = curvature_hf(alpha, spacing, vfrac)
         return jnp.broadcast_to(k2d, alpha.shape)
     kv, (gx, gy, gz, mag) = curvature_vof(alpha, spacing, eps, n_smooth)

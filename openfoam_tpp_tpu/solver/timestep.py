@@ -132,6 +132,7 @@ def make_step_core(
     forcing=None,
     sync_axis: str | None = None,
     carry_precond: bool = False,
+    sealed_x: bool = True,
 ):
     """Build the geometry-generic step:
     `step(state, params, ga, spacing, t_stop) -> (state', diag)`.
@@ -154,6 +155,22 @@ def make_step_core(
     rot_enabled = motion is not None and motion.has_rotation
     if rot_enabled and face_xyz is None:
         raise ValueError("rotational motion requires face_xyz coordinates")
+    # The fused momentum-RHS / finish / projection-epilogue kernels all
+    # emit ZEROS for u's face-nx row (sealed-wall assumption, true for
+    # every shipped geometry). `sealed_x=False` (an open +x face) pins
+    # them to the jnp path — which masks by the actual aperture — and an
+    # explicit env force on such a geometry fails loudly (ADVICE r4).
+    if not sealed_x:
+        import os as _os
+
+        for _v in ("OFTPP_MOM_PALLAS", "OFTPP_FINISH_PALLAS",
+                   "OFTPP_CORR_PALLAS"):
+            if _os.environ.get(_v) == "1":
+                raise ValueError(
+                    f"{_v}=1 forced on a geometry whose +x face is not "
+                    "sealed (last x-aperture plane has open faces): the "
+                    "fused kernels hard-code zeros there and would "
+                    "silently diverge from the aperture-masked jnp path")
     # `forcing(t, params) -> (Gx, Gy, Gz)` overrides the uniform
     # effective-gravity computation; components may be scalars or arrays
     # varying along x (piecewise-constant per case block — the tiled
@@ -322,7 +339,7 @@ def make_step_core(
         # all three components) — measured +16% on the flagship
         # (docs/ROADMAP.md §6e).
         fused_rhs = None
-        if _mom_pallas_enabled(controls):
+        if sealed_x and _mom_pallas_enabled(controls):
             from openfoam_tpp_tpu.ops.pallas import momentum_rhs as _mrk
 
             if _mrk.supported(state.alpha.shape, state.alpha.dtype):
@@ -336,10 +353,34 @@ def make_step_core(
                     fused_rhs = _mrk.momentum_rhs(
                         state.u, state.v, state.w, rho_phi, mu, div_u,
                         h_static, dev2=bool(controls.dev2_stress))
+        # Fused momentum FINISH kernel (ops/pallas/mom_finish.py): the
+        # density face-means + explicit update + gravity + wall mask for
+        # all three components in one pass. Only valid where the sources
+        # the jnp loop adds between the density scaling and the mask are
+        # absent: no rotating frame, no CSF, scalar G components.
+        finished = None
+        if (fused_rhs is not None and not rot_enabled and kappa is None
+                and _finish_pallas_enabled(controls)):
+            from openfoam_tpp_tpu.ops.pallas import mom_finish as _mfk
+
+            G3 = tuple(G[i] for i in range(3))
+            if (_mfk.supported(state.alpha.shape, state.alpha.dtype)
+                    and all(getattr(g, "ndim", 0) == 0 for g in G3)):
+                # momentum_rhs pads au to faces; the finish kernel wants
+                # it cell-shaped (it re-emits the zero face-nx row).
+                finished = _mfk.momentum_finish(
+                    state.u, state.v, state.w,
+                    (fused_rhs[0][:-1], fused_rhs[1], fused_rhs[2]),
+                    rho_old, rho_new, ga["ax"], ga["ay"], ga["az"],
+                    dt, G3)
+
         mu_edges = None if fused_rhs is not None \
             else mom.edge_viscosities(mu)
         new_vels = []
         for ax, q in enumerate(vels):
+            if finished is not None:
+                new_vels.append(finished[ax])
+                continue
             rof = st.cells_to_faces_avg(rho_old, ax)
             rnf = st.cells_to_faces_avg(rho_new, ax)
             if fused_rhs is not None:
@@ -387,7 +428,7 @@ def make_step_core(
         u_c, v_c, w_c = u_s, v_s, w_s
         p_new = state.p
         corr_kernel = None
-        if _corr_pallas_enabled(controls):
+        if sealed_x and _corr_pallas_enabled(controls):
             from openfoam_tpp_tpu.ops.pallas import correction as _ckr
 
             if _ckr.supported(state.alpha.shape, state.alpha.dtype):
@@ -551,7 +592,8 @@ def make_step(
         if rot_enabled else None
     )
     core = make_step_core(props, controls, motion=motion, open_top=open_top,
-                          face_xyz=face_xyz, carry_precond=carry_precond)
+                          face_xyz=face_xyz, carry_precond=carry_precond,
+                          sealed_x=bool(np.all(geom.ax[-1] == 0.0)))
 
     if carry_precond:
         def step(state: SimState, params, t_stop=None, precond=None):
@@ -583,8 +625,15 @@ def make_step_ga(
     open_top: bool = True,
     face_xyz=None,
     carry_precond: bool = False,
+    sealed_x: bool = True,
 ):
     """Geometry-as-OPERANDS step: `step(state, params, ga, ...)`.
+
+    `sealed_x=True` asserts every geometry this step will be fed has a
+    fully sealed +x face (last x-aperture plane all zero — true for all
+    shipped tank geometries); the fused kernels rely on it. Callers
+    passing geometries with an open +x face must set it False (pins the
+    kernels to the aperture-masked jnp path).
 
     Unlike make_step (which closes over the geometry arrays, baking
     ~5·n³ floats into the executable as HLO constants), the `ga` dict
@@ -597,7 +646,8 @@ def make_step_ga(
     With carry_precond the step gains `init_precond(state, ga)`."""
     spacing = tuple(float(s) for s in spacing)
     core = make_step_core(props, controls, motion=motion, open_top=open_top,
-                          face_xyz=face_xyz, carry_precond=carry_precond)
+                          face_xyz=face_xyz, carry_precond=carry_precond,
+                          sealed_x=sealed_x)
 
     if carry_precond:
         def step(state: SimState, params, ga, t_stop=None, precond=None):

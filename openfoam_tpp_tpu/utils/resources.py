@@ -14,10 +14,10 @@ import math
 
 # Calibrated on TPU v5e (bench.py measures the live number; these are the
 # planning constants). cell-updates/s aggregated over a full VoF step
-# (alpha subcycles + momentum incl. dev2 + MG-CG pressure solve). r3
-# steady-state measurement: 1.52e8 at 1M cells (fused MULES/CG/
-# Chebyshev-smoother Pallas kernels).
-TPU_CELL_UPDATES_PER_SEC = 1.5e8
+# (alpha subcycles + momentum incl. dev2 + MG-CG pressure solve). r4
+# steady-state measurement: 2.13e8 at 1M cells (BENCH_r04.json — fused
+# MULES/momentum-RHS/CG/Chebyshev/projection-epilogue Pallas kernels).
+TPU_CELL_UPDATES_PER_SEC = 2.13e8
 # SimState + geometry + MG levels + transients, bytes per cell (f32).
 BYTES_PER_CELL = 4 * (5 + 4 + 12) * 2
 HBM_BYTES = 16e9  # v5e chip

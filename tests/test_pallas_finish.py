@@ -63,3 +63,48 @@ def test_supported_gate():
     assert not fk.supported((112, 112, 112), jnp.bfloat16)
     assert not fk.supported((113, 112, 112))
     assert not fk.supported((8, 112, 112, 2))
+
+
+def test_finish_step_wiring(monkeypatch):
+    """OFTPP_FINISH_PALLAS=1 (+ the RHS kernel) routes the solver step's
+    momentum finish through the fused kernel (interpret-mode on CPU) and
+    matches the default step — same pattern as
+    test_momentum_rhs_step_wiring."""
+    import functools
+
+    import jax
+
+    from openfoam_tpp_tpu.config import PhysicalProperties, SolverControls
+    from openfoam_tpp_tpu.core.state import CaseParams, init_state
+    from openfoam_tpp_tpu.mesh import build_tank_geometry
+    from openfoam_tpp_tpu.ops.pallas import momentum_rhs as mrk
+    from openfoam_tpp_tpu.solver.timestep import make_step
+
+    geom = build_tank_geometry(H=0.04, D=0.048, mesh=0.004, geo="flat",
+                               round_to=4)
+    assert fk.supported(geom.shape), geom.shape
+    props = PhysicalProperties()
+    controls = SolverControls(p_max_iters=15)
+    params = CaseParams.make(R=0.002, freq=3.0, duration=1.0, ramp=0.02)
+
+    def run():
+        step = jax.jit(make_step(geom, props, controls))
+        state = init_state(geom, dt0=5e-4)
+        for _ in range(3):
+            state, diag = step(state, params)
+        return state
+
+    base = run()
+    monkeypatch.setenv("OFTPP_MOM_PALLAS", "1")
+    monkeypatch.setenv("OFTPP_FINISH_PALLAS", "1")
+    monkeypatch.setattr(mrk, "momentum_rhs",
+                        functools.partial(mrk.momentum_rhs,
+                                          interpret=True))
+    monkeypatch.setattr(fk, "momentum_finish",
+                        functools.partial(fk.momentum_finish,
+                                          interpret=True))
+    fused = run()
+    np.testing.assert_allclose(np.asarray(fused.alpha),
+                               np.asarray(base.alpha), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fused.w), np.asarray(base.w),
+                               atol=2e-4)

@@ -116,10 +116,25 @@ def test_runsweep_sharded_case_farming(tmp_path):
     2c). Physics and the on-disk contract must match the unsharded
     batched run lane for lane."""
     import jax
-    import pytest
 
     if jax.device_count() < 2:
-        pytest.skip("needs 2 devices")
+        # Default path never triggers (conftest provisions 8 virtual CPU
+        # devices), but if the flag was overridden, provision devices in
+        # a subprocess instead of silently skipping the only coverage of
+        # the sharded case-farming path (ADVICE r4).
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=2")
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q",
+             __file__ + "::test_runsweep_sharded_case_farming"],
+            env=env, capture_output=True, text=True)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        return
 
     rows = ROWS[:2]
     sh_base, pl_base = tmp_path / "sh", tmp_path / "pl"
