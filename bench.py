@@ -275,13 +275,27 @@ def main():
     for _ in range(2 if small else 4):       # re-warm the timed program
         state, diag, _ = multi(state, params)
     jax.block_until_ready(state)
-    state, diag, steady = _time_window(multi, state, params, n_steps, chunk)
 
-    sim_rate = steady["sim_seconds_per_wall_second"]
+    # >= 3 consecutive steady windows: past A/Bs showed +-5% run-to-run
+    # wobble (docs/ROADMAP.md 3b), the same size as the margins being
+    # chased — report mean +- sigma so deltas inside the noise band are
+    # visible as such (VERDICT r4 item 5; scripts/ab_compare.py consumes
+    # the per-window rates).
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "1" if small else "3"))
+    windows = []
+    for _ in range(n_windows):
+        state, diag, win = _time_window(multi, state, params, n_steps, chunk)
+        windows.append(win)
+    rates = np.array([w["sim_seconds_per_wall_second"] for w in windows])
+    steady = windows[-1]
+
+    sim_rate = float(rates.mean())
+    sim_rate_std = float(rates.std(ddof=1)) if n_windows > 1 else 0.0
     period = 1.0 / freq
     mcell_s_per_wall_s = (n_cells / 1e6) * sim_rate
-    cell_updates_per_sec = n_cells * steady["steps"] / max(
-        steady["wall_seconds"], 1e-9)
+    cell_updates_per_sec = float(np.mean(
+        [n_cells * w["steps"] / max(w["wall_seconds"], 1e-9)
+         for w in windows]))
 
     # Baseline: the reference's calibrated cost model at its 32-core job cap
     # — 80 cpu-hours per (Mcell·s simulated) ⇒ 32/(80·3600) Mcell·s of
@@ -291,12 +305,17 @@ def main():
         "metric": ("simulated Mcell*s per wall-second, 1 chip, steady state "
                    f"(t>{t_steady:g}s, ~1M-cell VoF)"),
         "value": round(mcell_s_per_wall_s, 5),
+        "value_std": round((n_cells / 1e6) * sim_rate_std, 7),
         "unit": "Mcell*s/wall-s",
         "vs_baseline": round(mcell_s_per_wall_s / baseline_mcell_s, 1),
         "detail": {
             "cell_updates_per_sec": round(cell_updates_per_sec, 1),
             "fluid_cells": n_cells,
             "grid": list(geom.shape),
+            "n_steady_windows": n_windows,
+            "window_sim_rates": [round(float(r), 5) for r in rates],
+            "sim_rate_mean": round(sim_rate, 5),
+            "sim_rate_std": round(sim_rate_std, 5),
             "steady_window": steady,
             "early_transient_window": early,
             "wall_seconds_per_shaking_period": round(
