@@ -220,7 +220,24 @@ def main():
         if "OFTPP_P_TOL_REL_B" in os.environ else
         SolverControls.p_tol_rel_b,
     )
-    step = make_step(geom, props, controls, carry_precond=True)
+    # BENCH_SPMD=N: run the per-shard-kernel shard_map path on an
+    # N-device x mesh (parallel/spmd.py). N=1 on the single real chip is
+    # the VERDICT-r4 A/B: per-chip rate of the sharded step with halo
+    # rings vs the plain fused path (the ppermutes are no-ops at N=1, so
+    # any gap is pure island/wrapper overhead).
+    spmd_ctx = None
+    n_spmd = int(os.environ.get("BENCH_SPMD", "0"))
+    if n_spmd > 0:
+        from openfoam_tpp_tpu.parallel.sharding import make_mesh
+        from openfoam_tpp_tpu.parallel.spmd import SpmdCtx
+
+        spmd_ctx = SpmdCtx(mesh=make_mesh(n_spmd),
+                           interpret=jax.default_backend() != "tpu")
+        controls = SolverControls(
+            use_pallas=True, precond_refresh=controls.precond_refresh,
+            p_tol_rel_b=controls.p_tol_rel_b)
+    step = make_step(geom, props, controls, carry_precond=True,
+                     spmd=spmd_ctx)
     params = CaseParams.make(R=R, freq=freq, duration=20.0)
 
     def multi_fn(carry, params):

@@ -105,6 +105,20 @@ def make_advance(step_fn, max_steps: int = _MAX_STEPS_PER_WRITE,
     return advance
 
 
+def _spmd_kernels_wanted() -> bool:
+    """True when a 1-D x-sharded run should use the per-shard fused
+    kernels (parallel/spmd.py): TPU backend, or CPU virtual devices with
+    OFTPP_SPMD_PALLAS=interpret (the CI/e2e coverage mode). =0 disables.
+    Shared by the geometry rounding policy and the step builder so they
+    agree — the kernels need nx to be a SLAB multiple PER SHARD, a
+    rounding the plain GSPMD path must not pay (it would change the grid
+    vs a solo run of the same case, tests/test_sharded_run.py)."""
+    env = os.environ.get("OFTPP_SPMD_PALLAS", "1")
+    if env == "0":
+        return False
+    return jax.default_backend() == "tpu" or env == "interpret"
+
+
 def build_case_geometry(params: dict, shape_hint: tuple | None = None,
                         devices=None):
     """Geometry for a case. `shape_hint` (from an existing checkpoint's
@@ -129,7 +143,14 @@ def build_case_geometry(params: dict, shape_hint: tuple | None = None,
     if dx * dy > 1:
         import math
 
-        rounds = [math.lcm(8, max(dx, dy))] + rounds
+        cands = [math.lcm(8, max(dx, dy))]
+        if dy == 1 and _spmd_kernels_wanted():
+            # 1-D x decomposition with per-shard fused kernels: the LOCAL
+            # nx must stay a SLAB multiple (parallel/spmd.py), so round nx
+            # to 8·dx first; the plain lcm candidate remains the GSPMD
+            # fallback for resumed cases built under the old rounding.
+            cands = [8 * dx] + cands
+        rounds = cands + rounds
     for r in rounds:
         geom = build_tank_geometry(
             H=params["H"], D=params["D"], mesh=params["mesh"],
@@ -242,10 +263,32 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
 
     geom = build_case_geometry(params, shape_hint,
                                devices=devices if n_dev > 1 else None)
+    spmd_ctx = None
     if (jax.default_backend() == "tpu" and geom.shape[0] % 8 == 0
             and n_dev == 1):
         # The fused stencil kernels are single-device programs; under
-        # GSPMD the dense jnp path (which lowers to collectives) runs.
+        # plain GSPMD the dense jnp path (which lowers to collectives)
+        # would run instead.
+        controls = dataclasses.replace(controls, use_pallas=True)
+    elif (n_dev > 1 and d_y == 1 and not is_6dof
+          and geom.shape[0] % (8 * d_x) == 0
+          and (jax.default_backend() == "tpu"
+               or os.environ.get("OFTPP_SPMD_PALLAS") == "interpret")
+          and os.environ.get("OFTPP_SPMD_PALLAS", "1") != "0"):
+        # Spatially sharded runs keep the fused kernels: each kernel call
+        # becomes a per-shard shard_map island with explicit ppermute
+        # halo rings (parallel/spmd.py) — erasing the ~20%/chip forfeit
+        # of the kernels-off GSPMD route (docs/ROADMAP.md). 1-D x
+        # decomposition only; OFTPP_SPMD_PALLAS=0 reverts to GSPMD-jnp.
+        from openfoam_tpp_tpu.parallel import sharding as sh
+        from openfoam_tpp_tpu.parallel.spmd import SpmdCtx
+
+        # OFTPP_SPMD_PALLAS=interpret exercises this path on virtual CPU
+        # devices (kernels in interpreter mode — the CI/e2e coverage for
+        # the halo rings without TPU hardware).
+        mesh = sh.make_mesh(n_dev, case_axis=1, y_axis=d_y)
+        spmd_ctx = SpmdCtx(mesh=mesh, axis="x",
+                           interpret=jax.default_backend() != "tpu")
         controls = dataclasses.replace(controls, use_pallas=True)
     k_env = os.environ.get("OFTPP_PRECOND_REFRESH")
     if k_env is not None:
@@ -294,7 +337,7 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
             params["H"], params["D"], params["mesh"], params["geo"],
             props, controls,
         )
-    key = key + (shape_hint, d_x, d_y)
+    key = key + (shape_hint, d_x, d_y, spmd_ctx is not None)
     hit = _ADVANCE_CACHE.get(key)
     if hit is None:
         motion = build_case_motion(params, case_dir) if case_dir else None
@@ -305,7 +348,7 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
         # so GSPMD propagates its shardings through the carry without any
         # jit-boundary declaration (VERDICT r3 item 2a).
         step = make_step(geom, props, controls, motion=motion,
-                         carry_precond=True)
+                         carry_precond=True, spmd=spmd_ctx)
         from openfoam_tpp_tpu.post.probes import make_probe_sampler
 
         sampler, width = make_probe_sampler(
@@ -313,7 +356,8 @@ def get_compiled_advance(params: dict, props: PhysicalProperties,
         if n_dev > 1:
             from openfoam_tpp_tpu.parallel import sharding as sh
 
-            mesh = sh.make_mesh(n_dev, case_axis=1, y_axis=d_y)
+            mesh = (spmd_ctx.mesh if spmd_ctx is not None
+                    else sh.make_mesh(n_dev, case_axis=1, y_axis=d_y))
             advance, to_dev, to_host = _sharded_wrappers(
                 step, mesh, sampler=sampler, sample_width=width)
         else:

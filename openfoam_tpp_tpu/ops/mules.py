@@ -104,7 +104,7 @@ def _div(fluxes, spacing):
 
 
 def _fct_limited(alpha_n, alpha_low, antis, dt, spacing, inv_vol, fluid,
-                 n_iters, use_pallas=False, fct_bf16=False):
+                 n_iters, use_pallas=False, fct_bf16=False, spmd=None):
     """Iterative Zalesak limiter: returns the LIMITED antidiffusive
     fluxes λ·anti (face layout) after `n_iters` iterations."""
     hx, hy, hz = spacing
@@ -132,9 +132,17 @@ def _fct_limited(alpha_n, alpha_low, antis, dt, spacing, inv_vol, fluid,
         lam_dt = jnp.bfloat16 if fct_bf16 else alpha_low.dtype
         cell_antis = tuple(a.astype(lam_dt) for a in cell_antis)
         lams = tuple(jnp.zeros(alpha_low.shape, lam_dt) for _ in range(3))
-        for _ in range(n_iters):
-            lams = mf.fct_iter(lams, cell_antis, alpha_low, amax,
-                               amin, dt_iv, spacing)
+        if spmd is not None:
+            # One shard_map island runs ALL iterations per shard with
+            # ppermute λ-halo rings (parallel/spmd.fct_iters).
+            from openfoam_tpp_tpu.parallel import spmd as sm
+
+            lams = sm.fct_iters(lams, cell_antis, alpha_low, amax, amin,
+                                dt_iv, spacing, n_iters, spmd)
+        else:
+            for _ in range(n_iters):
+                lams = mf.fct_iter(lams, cell_antis, alpha_low, amax,
+                                   amin, dt_iv, spacing)
         f32 = alpha_low.dtype
         lim = tuple(l.astype(f32) * a.astype(f32)
                     for l, a in zip(lams, cell_antis))
@@ -195,11 +203,16 @@ def advect_alpha(
     n_limiter_iters=3,
     use_pallas=False,
     fct_bf16=False,
+    spmd=None,
 ):
     """Advance alpha over `dt` with `n_subcycles` FCT sub-steps.
 
     Returns (alpha_new, rhoPhi tuple) where rhoPhi_f = rho1·Fα + rho2·(φ−Fα)
     uses the time-averaged limited alpha flux (momentum-consistent mass flux).
+
+    `spmd` (parallel/spmd.SpmdCtx): run the fused flux/FCT kernels
+    per shard under shard_map with ppermute halo rings — kernel
+    feasibility then checks the PER-SHARD shape.
     """
     vfrac = geom_arrays["vfrac"]
     apertures = (geom_arrays["ax"], geom_arrays["ay"], geom_arrays["az"])
@@ -213,12 +226,21 @@ def advect_alpha(
         from openfoam_tpp_tpu.ops.pallas import mules_fct as mf
         from openfoam_tpp_tpu.ops.pallas import mules_flux as mfx
 
-        use_pallas = mf.supported(alpha.shape, alpha.dtype)
-        use_flux_kernel = (
-            use_pallas
-            and u_cs is not None
-            and mfx.supported(alpha.shape, alpha.dtype)
-        )
+        if spmd is not None:
+            use_pallas = spmd.supports(mf.supported, alpha.shape,
+                                       alpha.dtype)
+            use_flux_kernel = (
+                use_pallas
+                and u_cs is not None
+                and spmd.supports(mfx.supported, alpha.shape, alpha.dtype)
+            )
+        else:
+            use_pallas = mf.supported(alpha.shape, alpha.dtype)
+            use_flux_kernel = (
+                use_pallas
+                and u_cs is not None
+                and mfx.supported(alpha.shape, alpha.dtype)
+            )
     fct_bf16 = bool(fct_bf16) and use_pallas
     if use_flux_kernel:
         # Cell lower-face layout views (the kernel's native layout; the
@@ -242,9 +264,16 @@ def advect_alpha(
     def subcycle(carry, _):
         a, flux_acc = carry
         if use_flux_kernel:
-            lows_c, antis_c = mfx.flux_all(
-                a, phis_cell, ucs_cell,
-                anti_dtype=jnp.bfloat16 if fct_bf16 else None)
+            if spmd is not None:
+                from openfoam_tpp_tpu.parallel import spmd as sm
+
+                lows_c, antis_c = sm.flux_all(
+                    a, phis_cell, ucs_cell, spmd,
+                    anti_dtype=jnp.bfloat16 if fct_bf16 else None)
+            else:
+                lows_c, antis_c = mfx.flux_all(
+                    a, phis_cell, ucs_cell,
+                    anti_dtype=jnp.bfloat16 if fct_bf16 else None)
             lows = _cell_to_faces(lows_c)
             antis = _cell_to_faces(antis_c)
         else:
@@ -257,7 +286,8 @@ def advect_alpha(
         a_low = a - dt_sub * inv_vol * _div(lows, spacing)
         limited = _fct_limited(a, a_low, antis, dt_sub, spacing, inv_vol,
                                fluid, n_limiter_iters,
-                               use_pallas=use_pallas, fct_bf16=fct_bf16)
+                               use_pallas=use_pallas, fct_bf16=fct_bf16,
+                               spmd=spmd)
         a_new = a_low - dt_sub * inv_vol * _div(limited, spacing)
         a_new = jnp.where(fluid, jnp.clip(a_new, 0.0, 1.0), 0.0)
         flux_acc = tuple(

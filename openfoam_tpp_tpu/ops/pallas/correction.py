@@ -45,24 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 SLAB = int(_os.environ.get("OFTPP_CORR_SLAB", "4"))
 
 
-def _kernel(hx, hy, hz, open_top,
-            dt_ref,
-            dp_m1, dp_b, dp_p1,
-            u_b, u_p1, bx_b, bx_p1, axap_b, axap_p1,
-            v_b, by_b, ayap_b,
-            w_b, bz_b, azap_b,
-            vf_b, topo_b, rhot_b,
-            ou, ov, ow, opart):
-    dt = dt_ref[0]
-    dp = dp_b[:, :, :]
+def _corr_core(hx, hy, hz, open_top, dt,
+               dp_m1, dp, dp_p1, u_b, u_p1, bx_b, bx_p1, axap_b, axap_p1,
+               v_b, by_b, ayap_b, w_b, bz_b, azap_b, vf_b, topo_b, rhot_b,
+               ou, ov, ow, opart):
+    """Epilogue math on MATERIALIZED plane/slab arrays (shared by the
+    single-device kernel and the per-shard halo variant below)."""
     s = dp.shape[0]
 
     # --- x faces b … b+S (S+1 planes; ends alias-clamped → zero grad) ---
-    dp_ext = jnp.concatenate([dp_m1[:, :, :], dp, dp_p1[:, :, :]], 0)
+    dp_ext = jnp.concatenate([dp_m1, dp, dp_p1], 0)
     gx = (dp_ext[1:] - dp_ext[:-1]) / hx                   # S+1 faces
-    u_ext = jnp.concatenate([u_b[:, :, :], u_p1[:, :, :]], 0)
-    bx_ext = jnp.concatenate([bx_b[:, :, :], bx_p1[:, :, :]], 0)
-    ax_ext = jnp.concatenate([axap_b[:, :, :], axap_p1[:, :, :]], 0)
+    u_ext = jnp.concatenate([u_b, u_p1], 0)
+    bx_ext = jnp.concatenate([bx_b, bx_p1], 0)
+    ax_ext = jnp.concatenate([axap_b, axap_p1], 0)
     uc = jnp.where(ax_ext > 0.0, u_ext - dt * bx_ext * gx, 0.0)
     ou[:, :, :] = uc[:s]
 
@@ -98,6 +94,54 @@ def _kernel(hx, hy, hz, open_top,
            + (phiz[:, :, 1:] - phiz[:, :, :-1]) / hz)
     opart[pl.program_id(0)] = jnp.max(
         jnp.abs(div) * (vf_b[:, :, :] > 0.0).astype(div.dtype))
+
+
+def _kernel(hx, hy, hz, open_top,
+            dt_ref,
+            dp_m1, dp_b, dp_p1,
+            u_b, u_p1, bx_b, bx_p1, axap_b, axap_p1,
+            v_b, by_b, ayap_b,
+            w_b, bz_b, azap_b,
+            vf_b, topo_b, rhot_b,
+            ou, ov, ow, opart):
+    args = [r[...] for r in (
+        dp_m1, dp_b, dp_p1, u_b, u_p1, bx_b, bx_p1, axap_b, axap_p1,
+        v_b, by_b, ayap_b, w_b, bz_b, azap_b, vf_b, topo_b, rhot_b)]
+    _corr_core(hx, hy, hz, open_top, dt_ref[0], *args,
+               ou, ov, ow, opart)
+
+
+def _kernel_h(hx, hy, hz, open_top,
+              dt_ref,
+              h_dp_lo, h_dp_hi, h_u, h_bx, h_ax,
+              dp_m1, dp_b, dp_p1,
+              u_b, u_p1, bx_b, bx_p1, axap_b, axap_p1,
+              v_b, by_b, ayap_b,
+              w_b, bz_b, azap_b,
+              vf_b, topo_b, rhot_b,
+              ou, ov, ow, opart):
+    """Per-shard halo variant (parallel/spmd.py): the ±1 dp planes and
+    the +1 face planes of (u, βx, ax) come from the ppermute halos at the
+    end grid steps. All inputs are CELL-x-extent (packed); at the global
+    top the halos carry the sealed face nx (zeros), reproducing the
+    single-device kernel's real-row reads bitwise."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    first, last = i == 0, i == n - 1
+    dp_m1 = jnp.where(first, h_dp_lo[...], dp_m1[...])
+    dp_p1 = jnp.where(last, h_dp_hi[...], dp_p1[...])
+    u_p1 = jnp.where(last, h_u[...], u_p1[...])
+    bx_p1 = jnp.where(last, h_bx[...], bx_p1[...])
+    axap_p1 = jnp.where(last, h_ax[...], axap_p1[...])
+    args = [r[...] for r in (
+        dp_b, u_b, bx_b, axap_b,
+        v_b, by_b, ayap_b, w_b, bz_b, azap_b, vf_b, topo_b, rhot_b)]
+    (dp_b, u_b, bx_b, axap_b, v_b, by_b, ayap_b, w_b, bz_b, azap_b,
+     vf_b, topo_b, rhot_b) = args
+    _corr_core(hx, hy, hz, open_top, dt_ref[0],
+               dp_m1, dp_b, dp_p1, u_b, u_p1, bx_b, bx_p1, axap_b, axap_p1,
+               v_b, by_b, ayap_b, w_b, bz_b, azap_b, vf_b, topo_b, rhot_b,
+               ou, ov, ow, opart)
 
 
 @functools.partial(jax.jit,
@@ -168,6 +212,73 @@ def correct_divmax(dp, u_s, v_s, w_s, beta_f, ax_ap, ay_ap, az_ap,
     u_full = jnp.concatenate(
         [uc, jnp.zeros((1, ny, nz), dp.dtype)], 0)
     return u_full, vc, wc, jnp.max(partials)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spacing", "open_top", "interpret"))
+def correct_divmax_h(dp, h_dp_lo, h_dp_hi, u_p, h_u, v_s, w_s,
+                     bx_p, h_bx, by, bz, ax_p, h_ax, ay_ap, az_ap,
+                     vfrac, top_open, rho_top, dt, spacing,
+                     open_top=True, interpret=False):
+    """Per-shard fused epilogue (shard_map island body, parallel/spmd.py).
+
+    x-extent inputs are PACKED to cells (`u_p = u[:-1]` etc. — the global
+    face-nx plane is the sealed wall, zeros); `h_*` are the exchanged
+    halo planes (dp ±1 clamp-edged; u/βx/ax +1 zero-edged — the true
+    global face-nx values). Returns (u_c cells, v_c, w_c, LOCAL div-max);
+    the caller pmaxes the scalar and re-appends u's zero wall plane."""
+    nx, ny, nz = dp.shape
+    assert nx % SLAB == 0
+    nblk = nx // SLAB
+
+    def blk(ey=0, ez=0):
+        return pl.BlockSpec((SLAB, ny + ey, nz + ez), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def plane(index_map):
+        return pl.BlockSpec((1, ny, nz), index_map,
+                            memory_space=pltpu.VMEM)
+
+    m1 = lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0)
+    p1c = lambda i: (jnp.minimum((i + 1) * SLAB, nx - 1), 0, 0)
+    const = plane(lambda i: (0, 0, 0))
+
+    blk2 = pl.BlockSpec((SLAB, ny, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
+
+    kern = functools.partial(
+        _kernel_h, *(float(s) for s in spacing), bool(open_top))
+    dt_arr = jnp.reshape(jnp.asarray(dt, dp.dtype), (1,))
+
+    uc, vc, wc, partials = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[smem1,
+                  const, const, const, const, const,      # halo planes
+                  plane(m1), blk(), plane(p1c),            # dp
+                  blk(), plane(p1c),                       # u (cells)
+                  blk(), plane(p1c),                       # beta_x
+                  blk(), plane(p1c),                       # ax aperture
+                  blk(ey=1), blk(ey=1), blk(ey=1),         # v, beta_y, ay
+                  blk(ez=1), blk(ez=1), blk(ez=1),         # w, beta_z, az
+                  blk(), blk2, blk2],                      # vfrac, topo, rho
+        out_specs=(blk(), blk(ey=1), blk(ez=1),
+                   pl.BlockSpec((nblk,), lambda i: (0,),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nx, ny, nz), dp.dtype),
+                   jax.ShapeDtypeStruct((nx, ny + 1, nz), dp.dtype),
+                   jax.ShapeDtypeStruct((nx, ny, nz + 1), dp.dtype),
+                   jax.ShapeDtypeStruct((nblk,), jnp.float32)),
+        interpret=interpret,
+    )(dt_arr,
+      h_dp_lo, h_dp_hi, h_u, h_bx, h_ax,
+      dp, dp, dp,
+      u_p, u_p, bx_p, bx_p, ax_p, ax_p,
+      v_s, by, ay_ap,
+      w_s, bz, az_ap,
+      vfrac, top_open[:, :, None], rho_top[:, :, None])
+    return uc, vc, wc, jnp.max(partials)
 
 
 _VMEM_BUDGET = 14 * 1024 * 1024

@@ -189,6 +189,79 @@ def _kernel(hx, hy, hz, dev2,
     mue = jnp.concatenate([mu_m1, mu_c, mu_p1], 0)
     due = jnp.concatenate([du_m1, du_c], 0)
 
+    # The jnp path zero-pads dev2's x-flux ends and the −(2/3)∇·U part
+    # does NOT vanish at the below-domain center — zero it on block 0.
+    begin = jnp.where(i == 0, 0.0, 1.0)
+    _mom_core(hx, hy, hz, dev2, begin, ue, ve, we, rxe, rye, rze, mue,
+              due, au, av, aw)
+
+
+def _kernel_h(hx, hy, hz, dev2,
+              h_ulo, h_uhi, h_vlo, h_vhi, h_wlo, h_whi,
+              h_rxlo, h_rxhi, h_rylo, h_rzlo, h_mulo, h_muhi, h_dulo,
+              u_m2, u_m1, u_c, u_p1, u_p2,
+              v_m2, v_m1, v_c, v_p1, v_p2,
+              w_m2, w_m1, w_c, w_p1, w_p2,
+              rx_m1, rx_c, rx_p1,
+              ry_m1, ry_c,
+              rz_m1, rz_c,
+              mu_m1, mu_c, mu_p1,
+              du_m1, du_c,
+              au, av, aw):
+    """Per-shard halo variant (parallel/spmd.py momentum_rhs): the ±2
+    planes of u/v/w, ±1 of rpx/μ and −1 of rpy/rpz/∇·U come from the
+    ppermute halos at the end grid steps. Global edges: clamp everywhere
+    EXCEPT u/rpx hi (the sealed face-nx plane, zeros — inputs arrive
+    PACKED to cell x-extent) and ∇·U lo (zero — reproduces the dev2
+    below-domain zeroing the single-device kernel does with its `begin`
+    flag, which this variant therefore drops)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    first, last = i == 0, i == n - 1
+
+    def sel(flag, halo, view):
+        return jnp.where(flag, halo, view[...])
+
+    u_m2 = sel(first, h_ulo[0:1], u_m2)
+    u_m1 = sel(first, h_ulo[1:2], u_m1)
+    u_p1 = sel(last, h_uhi[0:1], u_p1)
+    u_p2 = sel(last, h_uhi[1:2], u_p2)
+    v_m2 = sel(first, h_vlo[0:1], v_m2)
+    v_m1 = sel(first, h_vlo[1:2], v_m1)
+    v_p1 = sel(last, h_vhi[0:1], v_p1)
+    v_p2 = sel(last, h_vhi[1:2], v_p2)
+    w_m2 = sel(first, h_wlo[0:1], w_m2)
+    w_m1 = sel(first, h_wlo[1:2], w_m1)
+    w_p1 = sel(last, h_whi[0:1], w_p1)
+    w_p2 = sel(last, h_whi[1:2], w_p2)
+    rx_m1 = sel(first, h_rxlo[...], rx_m1)
+    rx_p1 = sel(last, h_rxhi[...], rx_p1)
+    ry_m1 = sel(first, h_rylo[...], ry_m1)
+    rz_m1 = sel(first, h_rzlo[...], rz_m1)
+    mu_m1 = sel(first, h_mulo[...], mu_m1)
+    mu_p1 = sel(last, h_muhi[...], mu_p1)
+    du_m1 = sel(first, h_dulo[...], du_m1)
+
+    (u_c, v_c, w_c, rx_c, ry_c, rz_c, mu_c, du_c) = (
+        r[...] for r in (u_c, v_c, w_c, rx_c, ry_c, rz_c, mu_c, du_c))
+
+    ue = jnp.concatenate([u_m2, u_m1, u_c, u_p1, u_p2], 0)
+    ve = jnp.concatenate([v_m2, v_m1, v_c, v_p1, v_p2], 0)
+    we = jnp.concatenate([w_m2, w_m1, w_c, w_p1, w_p2], 0)
+    rxe = jnp.concatenate([rx_m1, rx_c, rx_p1], 0)
+    rye = jnp.concatenate([ry_m1, ry_c], 0)
+    rze = jnp.concatenate([rz_m1, rz_c], 0)
+    mue = jnp.concatenate([mu_m1, mu_c, mu_p1], 0)
+    due = jnp.concatenate([du_m1, du_c], 0)
+
+    _mom_core(hx, hy, hz, dev2, 1.0, ue, ve, we, rxe, rye, rze, mue,
+              due, au, av, aw)
+
+
+def _mom_core(hx, hy, hz, dev2, begin, ue, ve, we, rxe, rye, rze, mue,
+              due, au, av, aw):
+    """RHS math on the MATERIALIZED extended-x arrays (shared by the
+    single-device kernel and the per-shard halo variant)."""
     u_b, v_b, w_b = ue[2:-2], ve[2:-2], we[2:-2]    # blk rows b … b+S−1
     mu_b = mue[1:-1]
     du_b = due[1:]
@@ -237,10 +310,9 @@ def _kernel(hx, hy, hz, dev2,
 
     a = visc - conv
     if dev2:
-        # d=0: μ[c]·(du_dx − (2/3)∇·U[c]) at centers; the jnp path
-        # zero-pads the flux ends and the −(2/3)∇·U part does NOT vanish
-        # at the below-domain center — zero it on the first block.
-        begin = jnp.where(i == 0, 0.0, 1.0)
+        # d=0: μ[c]·(du_dx − (2/3)∇·U[c]) at centers; `begin` zeroes the
+        # below-domain center on the global-first block (halo variant:
+        # always 1 — the zero rides in the ∇·U halo content instead).
         fd = mue[:-1] * (du_dx - (2.0 / 3.0) * due)
         fd = jnp.concatenate([fd[:1] * begin, fd[1:]], 0)
         a += _diff(fd, 0, hx)
@@ -384,6 +456,84 @@ def momentum_rhs(u, v, w, rho_phi, mu, div_u, spacing, dev2=True,
 
     au_full = jnp.concatenate([au, jnp.zeros((1, ny, nz), mu.dtype)], 0)
     return au_full, av, aw
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spacing", "dev2", "interpret"))
+def momentum_rhs_h(u_p, v, w, rpx_p, rpy, rpz, mu, div_u, halos, spacing,
+                   dev2=True, interpret=False):
+    """Per-shard momentum RHS (shard_map island body, parallel/spmd.py).
+
+    x-extent inputs are PACKED to cells (`u_p = u[:-1]`, `rpx_p =
+    rpx[:-1]` — the dropped global face-nx planes are the sealed wall,
+    zeros, and ride in the halos at the global top). `halos` =
+    (ulo, uhi, vlo, vhi, wlo, whi, rxlo, rxhi, rylo, rzlo, mulo, muhi,
+    dulo) exchanged planes (u/v/w width 2, rest width 1). Returns
+    (au cells, av, aw) — the caller re-appends u's zero wall plane."""
+    nx, ny, nz = mu.shape
+    assert nx % SLAB == 0
+    nblocks = nx // SLAB
+
+    def blk(ey=0, ez=0):
+        return pl.BlockSpec((SLAB, ny + ey, nz + ez), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def plane(index_map, ey=0, ez=0):
+        return pl.BlockSpec((1, ny + ey, nz + ez), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def const(w=1, ey=0, ez=0):
+        return pl.BlockSpec((w, ny + ey, nz + ez), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    last = nx - 1
+    m2 = lambda i: (jnp.maximum(i * SLAB - 2, 0), 0, 0)
+    m1 = lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0)
+    p1 = lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0)
+    p2 = lambda i: (jnp.minimum((i + 1) * SLAB + 1, last), 0, 0)
+
+    def face5(ey=0, ez=0):
+        return [plane(m2, ey, ez), plane(m1, ey, ez), blk(ey, ez),
+                plane(p1, ey, ez), plane(p2, ey, ez)]
+
+    hx, hy, hz = (float(s) for s in spacing)
+    kern = functools.partial(_kernel_h, hx, hy, hz, bool(dev2))
+
+    halo_specs = [const(2), const(2),                 # u lo/hi
+                  const(2, ey=1), const(2, ey=1),     # v
+                  const(2, ez=1), const(2, ez=1),     # w
+                  const(), const(),                   # rpx lo/hi
+                  const(ey=1), const(ez=1),           # rpy, rpz lo
+                  const(), const(),                   # mu lo/hi
+                  const()]                            # div_u lo
+
+    au, av, aw = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=(halo_specs
+                  + face5()                            # u (cells)
+                  + face5(ey=1)                        # v
+                  + face5(ez=1)                        # w
+                  + [plane(m1), blk(), plane(p1)]      # rpx (cells)
+                  + [plane(m1, ey=1), blk(ey=1)]       # rpy
+                  + [plane(m1, ez=1), blk(ez=1)]       # rpz
+                  + [plane(m1), blk(), plane(p1)]      # mu
+                  + [plane(m1), blk()]),               # div_u
+        out_specs=[blk(), blk(ey=1), blk(ez=1)],
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), mu.dtype),
+                   jax.ShapeDtypeStruct((nx, ny + 1, nz), mu.dtype),
+                   jax.ShapeDtypeStruct((nx, ny, nz + 1), mu.dtype)],
+        interpret=interpret,
+    )(*halos,
+      u_p, u_p, u_p, u_p, u_p,
+      v, v, v, v, v,
+      w, w, w, w, w,
+      rpx_p, rpx_p, rpx_p,
+      rpy, rpy,
+      rpz, rpz,
+      mu, mu, mu,
+      div_u, div_u)
+    return au, av, aw
 
 
 _VMEM_BUDGET = 14 * 1024 * 1024

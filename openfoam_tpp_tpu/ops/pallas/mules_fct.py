@@ -42,42 +42,28 @@ from jax.experimental.pallas import tpu as pltpu
 SLAB = 4  # x-planes per grid step (13 streamed arrays — keep VMEM modest)
 
 
-def _kernel(hx, hy, hz, n_eps,
-            lx_m, lx_c, lx_p, ly_m, ly_c, ly_p, lz_m, lz_c, lz_p,
-            ax_m, ax_c, ax_p, ay_m, ay_c, ay_p, az_m, az_c, az_p,
-            al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c,
-            ox, oy, oz):
-    """One FCT limiter iteration on an extended slab.
+def _fct_core(hx, hy, hz, n_eps,
+              lx_m, lx_c, lx_p, ly_m, ly_c, lz_m, lz_c,
+              ax_m, ax_c, ax_p, ay_m, ay_c, az_m, az_c,
+              al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c,
+              ox, oy, oz):
+    """One FCT limiter iteration on MATERIALIZED extended-slab arrays
+    (shared by the single-device kernel and the per-shard halo variant).
 
     l* = λ per axis, a* = antidiffusive flux per axis (lower-face cell
     layout), al = alpha_low, amax/amin = FCT bounds, div = dt·inv_vol.
-    Extended cell range: plane −1 (prev) + the SLAB planes."""
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
+    Extended cell range: plane −1 (prev) + the SLAB planes. `lx_p`/`ax_p`
+    are the NEXT x-plane values with the beyond-domain zeroing already
+    applied by the caller (the implicit zero boundary face / the
+    neighbor shard's junction face)."""
     s = ox.shape[0]
     ny, nz = ox.shape[1], ox.shape[2]
-    # Materialize the block refs (Pallas refs are not arrays). The λ/anti
-    # face streams may arrive bf16 (the FCT pipeline's bandwidth lever —
-    # the limiter clamps λ to [0,1] and the antidiffusive flux is a
-    # correction term); ALL arithmetic below runs in the cell dtype (f32).
-    f32 = al_c.dtype
-    (lx_m, lx_c, lx_p, ly_m, ly_c, ly_p, lz_m, lz_c, lz_p,
-     ax_m, ax_c, ax_p, ay_m, ay_c, ay_p, az_m, az_c, az_p) = (
-        r[...].astype(f32) for r in (
-            lx_m, lx_c, lx_p, ly_m, ly_c, ly_p, lz_m, lz_c, lz_p,
-            ax_m, ax_c, ax_p, ay_m, ay_c, ay_p, az_m, az_c, az_p))
-    (al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c) = (
-        r[...] for r in (
-            al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c))
-    # Zero the next-plane view on the last grid step (implicit zero
-    # boundary face beyond the domain).
-    end = jnp.where(i == n - 1, 0.0, 1.0)
 
     def ext(m, c):           # cells −1..s−1 (length s+1)
         return jnp.concatenate([m, c], axis=0)
 
     def hi_x(c, p):          # upper x-face of cells −1..s−1
-        return jnp.concatenate([c, p * end], axis=0)
+        return jnp.concatenate([c, p], axis=0)
 
     def hi_y(f):             # upper y-face (implicit zero at j=ny−1)
         return jnp.concatenate([f[:, 1:, :], jnp.zeros_like(f[:, :1, :])], 1)
@@ -152,6 +138,80 @@ def _kernel(hx, hy, hz, n_eps,
                       dn_z(rm_s), rm_s).astype(oz.dtype)
 
 
+def _kernel(hx, hy, hz, n_eps,
+            lx_m, lx_c, lx_p, ly_m, ly_c, ly_p, lz_m, lz_c, lz_p,
+            ax_m, ax_c, ax_p, ay_m, ay_c, ay_p, az_m, az_c, az_p,
+            al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c,
+            ox, oy, oz):
+    """Single-device entry. The λ/anti face streams may arrive bf16 (the
+    FCT pipeline's bandwidth lever); ALL arithmetic runs in the cell
+    dtype (f32). The next-plane views are zeroed on the last grid step
+    (the implicit zero boundary face beyond the domain); y/z next planes
+    are unused (in-slab shifts serve them) but fetched for symmetry."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    f32 = al_c.dtype
+    (lx_m, lx_c, lx_p, ly_m, ly_c, lz_m, lz_c,
+     ax_m, ax_c, ax_p, ay_m, ay_c, az_m, az_c) = (
+        r[...].astype(f32) for r in (
+            lx_m, lx_c, lx_p, ly_m, ly_c, lz_m, lz_c,
+            ax_m, ax_c, ax_p, ay_m, ay_c, az_m, az_c))
+    (al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c) = (
+        r[...] for r in (
+            al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c))
+    end = jnp.where(i == n - 1, 0.0, 1.0)
+    _fct_core(hx, hy, hz, n_eps,
+              lx_m, lx_c, lx_p * end, ly_m, ly_c, lz_m, lz_c,
+              ax_m, ax_c, ax_p * end, ay_m, ay_c, az_m, az_c,
+              al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c,
+              ox, oy, oz)
+
+
+def _kernel_h(hx, hy, hz, n_eps,
+              h_lxm, h_lym, h_lzm, h_axm, h_aym, h_azm,
+              h_lxp, h_axp,
+              h_alm, h_amaxm, h_aminm, h_divm,
+              lx_m, lx_c, lx_p, ly_m, ly_c,
+              lz_m, lz_c,
+              ax_m, ax_c, ax_p, ay_m, ay_c, az_m, az_c,
+              al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c,
+              ox, oy, oz):
+    """Per-shard halo variant (parallel/spmd.py fct_iters): the −1
+    planes of every face/cell stream and the +1 planes of the x streams
+    come from the ppermute halos at the end grid steps. The global-top
+    zeroing of the next plane is carried BY the halo content (zero-edged
+    exchange), not a flag."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    first, last = i == 0, i == n - 1
+    f32 = al_c.dtype
+
+    def sel(flag, halo, view):
+        return jnp.where(flag, halo[...], view[...]).astype(f32)
+
+    lx_m = sel(first, h_lxm, lx_m)
+    ly_m = sel(first, h_lym, ly_m)
+    lz_m = sel(first, h_lzm, lz_m)
+    ax_m = sel(first, h_axm, ax_m)
+    ay_m = sel(first, h_aym, ay_m)
+    az_m = sel(first, h_azm, az_m)
+    lx_p = sel(last, h_lxp, lx_p)
+    ax_p = sel(last, h_axp, ax_p)
+    al_m = jnp.where(first, h_alm[...], al_m[...])
+    amax_m = jnp.where(first, h_amaxm[...], amax_m[...])
+    amin_m = jnp.where(first, h_aminm[...], amin_m[...])
+    div_m = jnp.where(first, h_divm[...], div_m[...])
+    (lx_c, ly_c, lz_c, ax_c, ay_c, az_c) = (
+        r[...].astype(f32) for r in (lx_c, ly_c, lz_c, ax_c, ay_c, az_c))
+    (al_c, amax_c, amin_c, div_c) = (
+        r[...] for r in (al_c, amax_c, amin_c, div_c))
+    _fct_core(hx, hy, hz, n_eps,
+              lx_m, lx_c, lx_p, ly_m, ly_c, lz_m, lz_c,
+              ax_m, ax_c, ax_p, ay_m, ay_c, az_m, az_c,
+              al_m, al_c, amax_m, amax_c, amin_m, amin_c, div_m, div_c,
+              ox, oy, oz)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("spacing", "eps", "interpret"))
 def fct_iter(lams, antis, alpha_low, amax, amin, dt_iv, spacing,
@@ -193,6 +253,67 @@ def fct_iter(lams, antis, alpha_low, amax, amin, dt_iv, spacing,
                    for _ in range(3)],
         interpret=interpret,
     )(*face_args, *cell_args)
+    return tuple(out)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spacing", "eps", "interpret"))
+def fct_iter_h(lams, lam_halos, antis, anti_halos, cell_lo_halos,
+               alpha_low, amax, amin, dt_iv, spacing,
+               eps=1e-12, interpret=False):
+    """Per-shard limiter iteration (shard_map island body).
+
+    `lam_halos`/`anti_halos`: per axis (lo, hi_x) exchanged planes — hi
+    only for the x streams (y/z upper faces are in-slab); for y/z pass
+    (lo, None). `cell_lo_halos`: (alpha_low, amax, amin, dt_iv) −1
+    planes. Global edges: face/cell lo = clamp (harmless, zero
+    antidiffusive boundary faces), x hi = zero (the implicit zero
+    boundary face — carried by the halo content)."""
+    nx, ny, nz = alpha_low.shape
+    assert nx % SLAB == 0
+    nblocks = nx // SLAB
+
+    def blk(index_map=lambda i: (i, 0, 0)):
+        return pl.BlockSpec((SLAB, ny, nz), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def plane(index_map):
+        return pl.BlockSpec((1, ny, nz), index_map,
+                            memory_space=pltpu.VMEM)
+
+    last = nx - 1
+    prev = plane(lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0))
+    nxt = plane(lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0))
+    const = plane(lambda i: (0, 0, 0))
+
+    lx, ly, lz = lams
+    ax_, ay_, az_ = antis
+    halo_args = [lam_halos[0][0], lam_halos[1][0], lam_halos[2][0],
+                 anti_halos[0][0], anti_halos[1][0], anti_halos[2][0],
+                 lam_halos[0][1], anti_halos[0][1]] + list(cell_lo_halos)
+    face_specs = ([prev, blk(), nxt]          # lx: m, c, p
+                  + [prev, blk()]             # ly: m, c
+                  + [prev, blk()]             # lz
+                  + [prev, blk(), nxt]        # ax
+                  + [prev, blk()]             # ay
+                  + [prev, blk()])            # az
+    face_args = [lx, lx, lx, ly, ly, lz, lz,
+                 ax_, ax_, ax_, ay_, ay_, az_, az_]
+    cell_specs, cell_args = [], []
+    for c in (alpha_low, amax, amin, dt_iv):
+        cell_specs += [prev, blk()]
+        cell_args += [c, c]
+
+    hx, hy, hz = spacing
+    out = pl.pallas_call(
+        functools.partial(_kernel_h, hx, hy, hz, eps),
+        grid=(nblocks,),
+        in_specs=[const] * 12 + face_specs + cell_specs,
+        out_specs=[blk(), blk(), blk()],
+        out_shape=[jax.ShapeDtypeStruct(alpha_low.shape, lams[0].dtype)
+                   for _ in range(3)],
+        interpret=interpret,
+    )(*halo_args, *face_args, *cell_args)
     return tuple(out)
 
 

@@ -51,13 +51,12 @@ def _limited(delta_up, delta_down):
     return phi * delta_down
 
 
-def _kernel(a_m2, a_m1, a_c, a_p1, phx, phy, phz, ucx, ucy, ucz,
-            olx, oax, oly, oay, olz, oaz):
+def _flux_core(a_m2, a_m1, a_c, a_p1, phx, phy, phz, ucx, ucy, ucz,
+               olx, oax, oly, oay, olz, oaz):
+    """Flux math on MATERIALIZED arrays (shared by the single-device
+    kernel and the per-shard halo variant)."""
     s = olx.shape[0]
     ny, nz = olx.shape[1], olx.shape[2]
-    (a_m2, a_m1, a_c, a_p1, phx, phy, phz, ucx, ucy, ucz) = (
-        r[...] for r in (a_m2, a_m1, a_c, a_p1, phx, phy, phz,
-                         ucx, ucy, ucz))
 
     def fluxes(phi, uc, lo_donor, hi_donor, fl, fr):
         """(low, anti) from donor values and MUSCL face reconstructions."""
@@ -109,6 +108,29 @@ def _kernel(a_m2, a_m1, a_c, a_p1, phx, phy, phz, ucx, ucy, ucz,
         oa[:, :, :] = anti.astype(oa.dtype)
 
 
+def _kernel(a_m2, a_m1, a_c, a_p1, phx, phy, phz, ucx, ucy, ucz,
+            olx, oax, oly, oay, olz, oaz):
+    args = [r[...] for r in (a_m2, a_m1, a_c, a_p1, phx, phy, phz,
+                             ucx, ucy, ucz)]
+    _flux_core(*args, olx, oax, oly, oay, olz, oaz)
+
+
+def _kernel_h(h_lo, h_hi, a_m2, a_m1, a_c, a_p1, phx, phy, phz,
+              ucx, ucy, ucz, olx, oax, oly, oay, olz, oaz):
+    """Per-shard halo variant: alpha's −2/−1/+1 x-planes come from the
+    ppermute halos at the end grid steps (h_lo = (2, ny, nz) ghost rows
+    −2, −1; h_hi = (1, ny, nz) ghost row nxl). Global edges clamp —
+    exactly the single-device kernel's index-map clamps."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    am2 = jnp.where(i == 0, h_lo[0:1], a_m2[...])
+    am1 = jnp.where(i == 0, h_lo[1:2], a_m1[...])
+    ap1 = jnp.where(i == n - 1, h_hi[...], a_p1[...])
+    rest = [r[...] for r in (a_c, phx, phy, phz, ucx, ucy, ucz)]
+    _flux_core(am2, am1, rest[0], ap1, *rest[1:],
+               olx, oax, oly, oay, olz, oaz)
+
+
 @functools.partial(jax.jit, static_argnames=("anti_dtype", "interpret"))
 def flux_all(alpha, phis, ucs, anti_dtype=None, interpret=False):
     """All-axis (low, anti) MULES fluxes in one fused pass.
@@ -149,6 +171,48 @@ def flux_all(alpha, phis, ucs, anti_dtype=None, interpret=False):
                    for i in range(6)],
         interpret=interpret,
     )(alpha, alpha, alpha, alpha, *phis, *ucs)
+    lx, ax_, ly, ay_, lz, az_ = out
+    return (lx, ly, lz), (ax_, ay_, az_)
+
+
+@functools.partial(jax.jit, static_argnames=("anti_dtype", "interpret"))
+def flux_all_h(alpha, h_lo, h_hi, phis, ucs, anti_dtype=None,
+               interpret=False):
+    """Per-shard flux_all (shard_map island body, parallel/spmd.py):
+    `h_lo` (2, ny, nz) / `h_hi` (1, ny, nz) are alpha's exchanged halo
+    planes. phis/ucs are local lower-face cell-layout blocks (their
+    x-face values only feed faces of THIS shard's cells)."""
+    nx, ny, nz = alpha.shape
+    assert nx % SLAB == 0
+    nblocks = nx // SLAB
+
+    def blk():
+        return pl.BlockSpec((SLAB, ny, nz), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def plane(index_map, w=1):
+        return pl.BlockSpec((w, ny, nz), index_map,
+                            memory_space=pltpu.VMEM)
+
+    last = nx - 1
+    a_m2 = plane(lambda i: (jnp.maximum(i * SLAB - 2, 0), 0, 0))
+    a_m1 = plane(lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0))
+    a_p1 = plane(lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0))
+    h2 = plane(lambda i: (0, 0, 0), w=2)
+    h1 = plane(lambda i: (0, 0, 0), w=1)
+
+    a_dt = anti_dtype or alpha.dtype
+    out = pl.pallas_call(
+        _kernel_h,
+        grid=(nblocks,),
+        in_specs=[h2, h1, a_m2, a_m1, blk(), a_p1]
+        + [blk() for _ in range(6)],
+        out_specs=[blk() for _ in range(6)],
+        out_shape=[jax.ShapeDtypeStruct(alpha.shape,
+                                        a_dt if i % 2 else alpha.dtype)
+                   for i in range(6)],
+        interpret=interpret,
+    )(h_lo, h_hi, alpha, alpha, alpha, alpha, *phis, *ucs)
     lx, ax_, ly, ay_, lz, az_ = out
     return (lx, ly, lz), (ax_, ay_, az_)
 

@@ -197,10 +197,14 @@ class ProbeWriter:
     def append_rows(self, times, rows):
         """Bulk append (one file open) of per-timestep samples: `times`
         (n,), `rows` (n, n_probes). Rows at or before the last recorded
-        time are skipped (resume dedup)."""
+        time are skipped (resume dedup), as are non-advancing rows WITHIN
+        the call — lanes held at a write target by --percase-dt masked
+        stepping (manager/sweeprun.py) repeat their frozen state each
+        batch step."""
         times = np.asarray(times).reshape(-1)
         rows = np.asarray(rows)
-        keep = times > self._last_t + 1e-9
+        prev = np.concatenate([[self._last_t], times[:-1]])
+        keep = times > np.maximum.accumulate(prev) + 1e-9
         if not keep.any():
             return
         with open(self.path, "a") as f:

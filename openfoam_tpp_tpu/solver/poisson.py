@@ -91,6 +91,10 @@ class _Level:
                                 # every apply/residual and the b/diag
                                 # divides in the smoother entries
     dtype: object = None        # element dtype (falls back to diag.dtype)
+    spmd: object = None         # parallel/spmd.SpmdCtx when this level's
+                                # kernel apply runs per-shard under
+                                # shard_map (ppermute halo rings); None =
+                                # single-device kernel / GSPMD jnp
 
     @property
     def eltype(self):
@@ -129,6 +133,11 @@ class PoissonProblem:
 
 def _weights_apply(level: _Level, p):
     if level.split is not None:
+        if level.spmd is not None:
+            from openfoam_tpp_tpu.parallel import spmd as sm
+
+            return sm.apply_7pt(p, level.split, level.spmd,
+                                diag=None if level.unit_diag else level.diag)
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
         return sp.apply_7pt(p, level.split,
@@ -148,6 +157,12 @@ def _resid_scaled(level: _Level, x, b):
     """(b − A·x)/diag — fused single pass when the Pallas kernel serves
     this level, else the jnp apply + elementwise chain."""
     if level.split is not None:
+        if level.spmd is not None:
+            from openfoam_tpp_tpu.parallel import spmd as sm
+
+            return sm.resid_scaled_7pt(
+                x, level.split, level.spmd, b,
+                diag=None if level.unit_diag else level.diag)
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
         return sp.resid_scaled_7pt(x, level.split,
@@ -207,8 +222,12 @@ def _smooth(level: _Level, x, b, n):
 def _fused_cheb2(level: _Level) -> bool:
     """The degree-2 Chebyshev sweeps on a unit-diagonal kernel level can
     run as ONE fused Pallas pass each (ops/pallas/seven_point.py
-    cheb2_pre/post_7pt) instead of ~4 stencil passes + axpy chains."""
+    cheb2_pre/post_7pt) instead of ~4 stencil passes + axpy chains.
+    No SPMD variant exists (it would need ±2 halos of x/b AND ±1 of all
+    six weights); sharded levels fall to the generic smoother whose
+    inner resid runs the per-shard kernel."""
     return (_FUSED_CHEB and level.split is not None and level.unit_diag
+            and level.spmd is None
             and _SMOOTHER == "chebyshev" and _SMOOTH_SWEEPS == 2)
 
 
@@ -396,7 +415,8 @@ _PRECOND_DTYPE = (jnp.float32 if _os.environ.get("OFTPP_PRECOND_F32") == "1"
 # is ~60% of the pressure-solve HBM traffic — bf16 halves it.
 
 
-def build_operator(geom_arrays, spacing, rho, top_open, use_pallas=False):
+def build_operator(geom_arrays, spacing, rho, top_open, use_pallas=False,
+                   spmd=None):
     """Construct the OPERATOR half of the pressure problem — everything
     that must be fresh every step because it defines the equations: the
     physical A, the diagonally-scaled Â (scaling folded into the face
@@ -410,8 +430,11 @@ def build_operator(geom_arrays, spacing, rho, top_open, use_pallas=False):
     while the operator tracks ρ exactly.
 
     `use_pallas`: evaluate the stencil operators with the fused Pallas
-    kernel (ops/pallas/seven_point.py) when the grid shape supports it —
-    TPU single-device paths only."""
+    kernel (ops/pallas/seven_point.py) when the grid shape supports it.
+    `spmd` (parallel/spmd.SpmdCtx): the step runs spatially sharded —
+    kernel applies become per-shard shard_map islands with ppermute halo
+    rings (feasibility checked on the PER-SHARD shape), and the CG
+    curvature dot psums its per-shard partials."""
     hx, hy, hz = spacing
     vfrac = geom_arrays["vfrac"]
     fluid = vfrac > 0.0
@@ -453,10 +476,14 @@ def build_operator(geom_arrays, spacing, rho, top_open, use_pallas=False):
             return level
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        if not sp.supported(level.shape, level.eltype):
+        if spmd is not None:
+            if not spmd.supports(sp.supported, level.shape, level.eltype):
+                return level
+        elif not sp.supported(level.shape, level.eltype):
             return level
         return dataclasses.replace(
-            level, split=sp.split_weights(level.wx, level.wy, level.wz)
+            level, split=sp.split_weights(level.wx, level.wy, level.wz),
+            spmd=spmd,
         )
 
     top = _with_kernel(_Level(wx=wx, wy=wy, wz=wz, extra=extra, diag=diag0,
@@ -491,10 +518,16 @@ def build_operator(geom_arrays, spacing, rho, top_open, use_pallas=False):
 
     apply_dot_hat = None
     if top_hat.split is not None:
-        from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+        if spmd is not None:
+            from openfoam_tpp_tpu.parallel import spmd as sm
 
-        def apply_dot_hat(p):
-            return sp.apply_dot_7pt(p, top_hat.split)
+            def apply_dot_hat(p):
+                return sm.apply_dot_7pt(p, top_hat.split, spmd)
+        else:
+            from openfoam_tpp_tpu.ops.pallas import seven_point as sp
+
+            def apply_dot_hat(p):
+                return sp.apply_dot_7pt(p, top_hat.split)
 
     problem = PoissonProblem(
         apply=apply, precond=None, diag=diag0, fluid=fluid,
@@ -508,24 +541,28 @@ def build_operator(geom_arrays, spacing, rho, top_open, use_pallas=False):
     return problem, pack
 
 
-def _bundle_entry(wx, wy, wz, shape, dtype, use_pallas, diag=None):
+def _bundle_entry(wx, wy, wz, shape, dtype, use_pallas, diag=None,
+                  spmd=None):
     """One hierarchy level as a dict of arrays: kernel-split cell weights
     when the fused Pallas kernels serve this (shape, dtype), face weights
-    otherwise. `diag=None` = unit-diagonal level."""
+    otherwise. `diag=None` = unit-diagonal level. Under `spmd` the
+    feasibility check runs on the PER-SHARD shape."""
     d = {}
     if diag is not None:
         d["diag"] = diag
     if use_pallas:
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        if sp.supported(shape, dtype):
+        ok = (spmd.supports(sp.supported, shape, dtype) if spmd is not None
+              else sp.supported(shape, dtype))
+        if ok:
             d["split"] = sp.split_weights(wx, wy, wz)
             return d
     d["faces"] = (wx, wy, wz)
     return d
 
 
-def make_bundle(pack, use_pallas=False):
+def make_bundle(pack, use_pallas=False, spmd=None):
     """The bf16 V-cycle preconditioner state as a pytree of arrays.
 
     A pure function of `pack` (build_operator), carryable through a
@@ -542,7 +579,8 @@ def make_bundle(pack, use_pallas=False):
     lp = _PRECOND_DTYPE
     shape = pack["inv_s"].shape
     top = _bundle_entry(pack["hwx"].astype(lp), pack["hwy"].astype(lp),
-                        pack["hwz"].astype(lp), shape, lp, use_pallas)
+                        pack["hwz"].astype(lp), shape, lp, use_pallas,
+                        spmd=spmd)
     # (A true Galerkin RAP-27 coarse hierarchy was built and measured in
     # r3 — CG iterations −22-24%, wall-clock LOST ~2x because a 27-point
     # level-1 stencil streams ~7.7x the coefficient arrays of the split
@@ -553,27 +591,33 @@ def make_bundle(pack, use_pallas=False):
                                     pack["wy"].astype(lp),
                                     pack["wz"].astype(lp),
                                     pack["extra"].astype(lp)):
+        # Coarse levels stay on the jnp path under SPMD: their shapes
+        # shrink below per-shard kernel feasibility within 1-2 levels,
+        # and their total traffic is 1/8-and-down of the top's — GSPMD
+        # handles them with auto collective-permutes.
         coarse.append(_bundle_entry(lev.wx, lev.wy, lev.wz, lev.shape,
-                                    lp, use_pallas, diag=lev.diag))
+                                    lp, use_pallas and spmd is None,
+                                    diag=lev.diag))
     return {"top": top, "coarse": coarse, "inv_s": pack["inv_s"].astype(lp)}
 
 
-def _level_from_entry(d, unit_diag):
+def _level_from_entry(d, unit_diag, spmd=None):
     split = d.get("split")
     if split is not None:
         shape = split[0].shape
         return _Level(wx=None, wy=None, wz=None, extra=None,
                       diag=d.get("diag"), shape=shape, split=split,
-                      unit_diag=unit_diag, dtype=split[0].dtype)
+                      unit_diag=unit_diag, dtype=split[0].dtype, spmd=spmd)
     wx, wy, wz = d["faces"]
     shape = (wx.shape[0] - 1,) + wx.shape[1:]
     return _Level(wx=wx, wy=wy, wz=wz, extra=None, diag=d.get("diag"),
                   shape=shape, unit_diag=unit_diag, dtype=wx.dtype)
 
 
-def attach_precond(problem: PoissonProblem, bundle) -> PoissonProblem:
+def attach_precond(problem: PoissonProblem, bundle,
+                   spmd=None) -> PoissonProblem:
     """Wire a make_bundle pytree into the problem's precond closures."""
-    top16 = _level_from_entry(bundle["top"], unit_diag=True)
+    top16 = _level_from_entry(bundle["top"], unit_diag=True, spmd=spmd)
     coarse16 = [_level_from_entry(d, unit_diag=False)
                 for d in bundle["coarse"]]
     inv_s16 = bundle["inv_s"]
@@ -602,13 +646,16 @@ def attach_precond(problem: PoissonProblem, bundle) -> PoissonProblem:
                                precond_rz_hat=precond_rz_hat)
 
 
-def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False):
+def build_poisson(geom_arrays, spacing, rho, top_open, use_pallas=False,
+                  spmd=None):
     """Operator + MG preconditioner for the current density, in one call
     (the everything-fresh path; the time stepper uses the split API to
     amortize make_bundle across steps)."""
     problem, pack = build_operator(geom_arrays, spacing, rho, top_open,
-                                   use_pallas=use_pallas)
-    return attach_precond(problem, make_bundle(pack, use_pallas=use_pallas))
+                                   use_pallas=use_pallas, spmd=spmd)
+    return attach_precond(problem,
+                          make_bundle(pack, use_pallas=use_pallas,
+                                      spmd=spmd), spmd=spmd)
 
 
 def _dot(a, b):

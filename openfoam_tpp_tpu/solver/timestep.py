@@ -133,6 +133,7 @@ def make_step_core(
     sync_axis: str | None = None,
     carry_precond: bool = False,
     sealed_x: bool = True,
+    spmd=None,
 ):
     """Build the geometry-generic step:
     `step(state, params, ga, spacing, t_stop) -> (state', diag)`.
@@ -143,6 +144,15 @@ def make_step_core(
     yields geometry-batched (H, D, geo) sweeps (the reference's Cartesian
     sweep engine, /root/reference/main.py:504-534). `make_step` wraps it
     with a fixed geometry closed over (constant-folded by XLA).
+
+    `spmd` (parallel/spmd.SpmdCtx): the step runs under a spatial device
+    mesh — every fused Pallas kernel call becomes a per-shard shard_map
+    island with explicit lax.ppermute halo rings (feasibility checked on
+    the PER-SHARD shape), instead of pinning off to the jnp path as the
+    plain GSPMD route does (~20%/chip forfeit, docs/ROADMAP.md
+    "GSPMD-vs-fused-kernel gap"). Everything between islands still
+    lowers through GSPMD. The momentum-FINISH kernel stays off under
+    spmd (opt-in only, no halo variant).
 
     `carry_precond=True` changes the signature to
     `step(state, params, ga, spacing, t_stop, precond) ->
@@ -283,6 +293,7 @@ def make_step_core(
             n_limiter_iters=controls.n_limiter_iters,
             use_pallas=controls.use_pallas,
             fct_bf16=_fct_bf16_enabled(controls),
+            spmd=spmd,
         )
 
         rho_old = mixture_density(state.alpha, props)
@@ -293,7 +304,7 @@ def make_step_core(
         #     face 1/ρ interpolants shared by forces & correction) ---
         prob, pack = poisson.build_operator(
             ga, spacing, rho_new, ga["top_open"] if open_top else None,
-            use_pallas=controls.use_pallas,
+            use_pallas=controls.use_pallas, spmd=spmd,
         )
         if carry_precond and precond is not None:
             # Amortized refresh: the bundle is ONLY a preconditioner (any
@@ -304,18 +315,19 @@ def make_step_core(
             K = max(int(controls.precond_refresh), 1)
             if K <= 1:
                 bundle = poisson.make_bundle(
-                    pack, use_pallas=controls.use_pallas)
+                    pack, use_pallas=controls.use_pallas, spmd=spmd)
             else:
                 bundle = jax.lax.cond(
                     state.step % K == 0,
                     lambda: poisson.make_bundle(
-                        pack, use_pallas=controls.use_pallas),
+                        pack, use_pallas=controls.use_pallas, spmd=spmd),
                     lambda: precond,
                 )
         else:
             bundle = poisson.make_bundle(pack,
-                                         use_pallas=controls.use_pallas)
-        prob = poisson.attach_precond(prob, bundle)
+                                         use_pallas=controls.use_pallas,
+                                         spmd=spmd)
+        prob = poisson.attach_precond(prob, bundle, spmd=spmd)
         beta_f = prob.beta_faces
 
         # --- explicit conservative momentum (no pressure, no gravity) ---
@@ -342,14 +354,23 @@ def make_step_core(
         if sealed_x and _mom_pallas_enabled(controls):
             from openfoam_tpp_tpu.ops.pallas import momentum_rhs as _mrk
 
-            if _mrk.supported(state.alpha.shape, state.alpha.dtype):
+            ok = (spmd.supports(_mrk.supported, state.alpha.shape,
+                                state.alpha.dtype) if spmd is not None
+                  else _mrk.supported(state.alpha.shape, state.alpha.dtype))
+            if ok:
                 try:
                     # Traced spacing (geometry-batched sweep lanes) can't
                     # feed the static kernel args — stay on the jnp path.
                     h_static = tuple(float(h) for h in spacing)
                 except (TypeError, jax.errors.TracerArrayConversionError):
                     h_static = None
-                if h_static is not None:
+                if h_static is not None and spmd is not None:
+                    from openfoam_tpp_tpu.parallel import spmd as _sm
+
+                    fused_rhs = _sm.momentum_rhs(
+                        state.u, state.v, state.w, rho_phi, mu, div_u,
+                        h_static, spmd, dev2=bool(controls.dev2_stress))
+                elif h_static is not None:
                     fused_rhs = _mrk.momentum_rhs(
                         state.u, state.v, state.w, rho_phi, mu, div_u,
                         h_static, dev2=bool(controls.dev2_stress))
@@ -360,7 +381,7 @@ def make_step_core(
         # absent: no rotating frame, no CSF, scalar G components.
         finished = None
         if (fused_rhs is not None and not rot_enabled and kappa is None
-                and _finish_pallas_enabled(controls)):
+                and spmd is None and _finish_pallas_enabled(controls)):
             from openfoam_tpp_tpu.ops.pallas import mom_finish as _mfk
 
             G3 = tuple(G[i] for i in range(3))
@@ -431,7 +452,10 @@ def make_step_core(
         if sealed_x and _corr_pallas_enabled(controls):
             from openfoam_tpp_tpu.ops.pallas import correction as _ckr
 
-            if _ckr.supported(state.alpha.shape, state.alpha.dtype):
+            ok = (spmd.supports(_ckr.supported, state.alpha.shape,
+                                state.alpha.dtype) if spmd is not None
+                  else _ckr.supported(state.alpha.shape, state.alpha.dtype))
+            if ok:
                 try:
                     tuple(float(h) for h in spacing)
                     corr_kernel = _ckr
@@ -460,12 +484,22 @@ def make_step_core(
                     if open_top else jnp.zeros(
                         state.alpha.shape[:2], state.alpha.dtype)
                 rho_top = rho_new[:, :, -1]
-                u_c, v_c, w_c, div_err = corr_kernel.correct_divmax(
-                    dp, u_c, v_c, w_c, beta_f,
-                    ga["ax"], ga["ay"], ga["az"], ga["vfrac"],
-                    topo, rho_top, dt,
-                    tuple(float(h) for h in spacing),
-                    open_top=bool(open_top))
+                if spmd is not None:
+                    from openfoam_tpp_tpu.parallel import spmd as _sm
+
+                    u_c, v_c, w_c, div_err = _sm.correct_divmax(
+                        dp, u_c, v_c, w_c, beta_f,
+                        ga["ax"], ga["ay"], ga["az"], ga["vfrac"],
+                        topo, rho_top, dt,
+                        tuple(float(h) for h in spacing), spmd,
+                        open_top=bool(open_top))
+                else:
+                    u_c, v_c, w_c, div_err = corr_kernel.correct_divmax(
+                        dp, u_c, v_c, w_c, beta_f,
+                        ga["ax"], ga["ay"], ga["az"], ga["vfrac"],
+                        topo, rho_top, dt,
+                        tuple(float(h) for h in spacing),
+                        open_top=bool(open_top))
                 continue
 
             # --- velocity correction (exactly the operator's gradient) ---
@@ -568,6 +602,7 @@ def make_step(
     motion: mo.TableMotion | None = None,
     dtype=jnp.float32,
     carry_precond: bool = False,
+    spmd=None,
 ):
     """Build the jit-able step function for a fixed geometry.
 
@@ -593,7 +628,8 @@ def make_step(
     )
     core = make_step_core(props, controls, motion=motion, open_top=open_top,
                           face_xyz=face_xyz, carry_precond=carry_precond,
-                          sealed_x=bool(np.all(geom.ax[-1] == 0.0)))
+                          sealed_x=bool(np.all(geom.ax[-1] == 0.0)),
+                          spmd=spmd)
 
     if carry_precond:
         def step(state: SimState, params, t_stop=None, precond=None):
@@ -604,9 +640,10 @@ def make_step(
             rho = mixture_density(state.alpha, props)
             _, pack = poisson.build_operator(
                 ga, spacing, rho, ga["top_open"] if open_top else None,
-                use_pallas=controls.use_pallas)
+                use_pallas=controls.use_pallas, spmd=spmd)
             return poisson.make_bundle(pack,
-                                       use_pallas=controls.use_pallas)
+                                       use_pallas=controls.use_pallas,
+                                       spmd=spmd)
 
         step.init_precond = init_precond
         return step

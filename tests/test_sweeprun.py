@@ -49,11 +49,18 @@ def test_runsweep_end_to_end_and_resume(tmp_path):
         payload = np.load(chks[-1])
         a = payload["alpha"]
         assert np.isfinite(a).all() and a.min() >= -1e-6 and a.max() <= 1 + 1e-6
-        probe = os.path.join(d, "postProcessing", "probes", "0", "p")
-        assert os.path.isfile(probe)
-        body = [l for l in open(probe).read().splitlines()
-                if l and not l.startswith("#")]
-        assert len(body) == 2  # one row per write target
+        # Per-timestep probes + eta gauges (functionObject parity with
+        # the solo runner, VERDICT r4 #4): one row per SOLVER STEP with
+        # strictly increasing times, not one per write target.
+        for field in ("p", "eta"):
+            probe = os.path.join(d, "postProcessing", "probes", "0", field)
+            assert os.path.isfile(probe)
+            body = [l for l in open(probe).read().splitlines()
+                    if l and not l.startswith("#")]
+            assert len(body) > 2, (field, len(body))
+            ts = [float(l.split()[0]) for l in body]
+            assert all(b > a for a, b in zip(ts, ts[1:]))
+            assert ts[-1] >= 0.1 - 1e-6
 
     # Second invocation: everything done -> batched path resumes and
     # writes nothing new (run selection excludes done cases).
@@ -162,3 +169,47 @@ def test_runsweep_sharded_case_farming(tmp_path):
                                    atol=5e-5)
         probe = os.path.join(ds, "postProcessing", "probes", "0", "p")
         assert os.path.isfile(probe)
+
+
+def test_batched_probes_per_timestep_solo_parity(tmp_path):
+    """Batched runs emit the SAME per-timestep probe artifacts a solo run
+    does (VERDICT r4 item 4): postProcessing/probes/0/{p,eta} with one
+    row per solver step, and lane-0 rows matching the solo run of the
+    identical case (--percase-dt gives each lane its solo dt trajectory,
+    so the row times line up)."""
+    from openfoam_tpp_tpu.manager.runner import run_case
+    from openfoam_tpp_tpu.manager.sweeprun import run_cases_batched
+
+    rows = [ROWS[0], {**ROWS[1], "R": 0.004, "freq": 6.0}]
+    batch = [case_mgr.setup_case(r, str(tmp_path / "batch")) for r in rows]
+    run_cases_batched(batch, log=lambda *a: None, lockstep=False)
+
+    def read_rows(d, name):
+        path = os.path.join(d, "postProcessing", "probes", "0", name)
+        assert os.path.isfile(path), path
+        body = [l.split() for l in open(path).read().splitlines()
+                if l and not l.startswith("#")]
+        return np.array(body, np.float64)
+
+    for d in batch:
+        p_rows = read_rows(d, "p")
+        e_rows = read_rows(d, "eta")
+        n_steps = int(np.load(
+            sorted(glob.glob(os.path.join(d, "chk_t*.npz")))[-1])["step"])
+        # One row per solver step (per-write sampling would give 2).
+        assert len(p_rows) == len(e_rows) == n_steps, (
+            len(p_rows), len(e_rows), n_steps)
+        assert (np.diff(p_rows[:, 0]) > 0).all()
+        assert p_rows.shape[1] == 3 and e_rows.shape[1] == 4
+
+    solo = case_mgr.setup_case(rows[0], str(tmp_path / "solo"))
+    run_case(solo, log=lambda *a: None)
+    for name in ("p", "eta"):
+        bl = read_rows(batch[0], name)
+        sl = read_rows(solo, name)
+        assert bl.shape == sl.shape, (name, bl.shape, sl.shape)
+        np.testing.assert_allclose(bl[:, 0], sl[:, 0], rtol=0, atol=1e-6)
+        # vmapped-vs-solo programs reorder f32 reductions; p probes are
+        # O(100 Pa), eta gauges O(H).
+        np.testing.assert_allclose(bl[:, 1:], sl[:, 1:], rtol=5e-3,
+                                   atol=5e-4)
