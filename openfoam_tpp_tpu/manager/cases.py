@@ -23,12 +23,17 @@ from openfoam_tpp_tpu.utils.io import (
 # `sloshingTank3D` block (20 m × 20 m × 40 m, waterline z=0:
 # /root/reference/sloshingTank3D6DoF/Allrun:7 + system/setFieldsDict
 # water box up to z=0; probes at y=±9.95, z=19.77 bracket the extents).
+# `chamfer` > 0 builds the tutorial resource's true shape class — the
+# prism with 45°-chamfered bottom/top edges
+# (mesh/geometry.build_chamfer_tank_geometry) — as a fraction of Lz;
+# 0 keeps the plain box (bit-compatible with pre-r5 cases).
 DEFAULTS_6DOF = {
     "model": "tank6dof",
     "Lx": 20.0,
     "Ly": 20.0,
     "Lz": 40.0,
     "mesh": 1.0,
+    "chamfer": 0.0,
     "duration": 40.0,   # sloshingTank3D6DoF/system/controlDict endTime
     "dt": 0.01,         # controlDict deltaT
 }
@@ -74,6 +79,8 @@ def setup_case_6dof(params: dict | None = None, base_dir: str = ".",
         f"case_6dof_L{params['Lx']:g}x{params['Ly']:g}x{params['Lz']:g}"
         f"_m{params['mesh']:g}_d{params['duration']:g}"
     )
+    if float(params.get("chamfer", 0.0)) > 0.0:
+        name += f"_c{params['chamfer']:g}"
     case_dir = os.path.join(base_dir, name)
     os.makedirs(os.path.join(case_dir, "constant"), exist_ok=True)
     os.makedirs(os.path.join(case_dir, "postProcessing"), exist_ok=True)

@@ -318,7 +318,7 @@ def menu_build_6dof(base_dir: str = "."):
 
     print("\n--- Build 6DoF closed-tank case ---")
     overrides = {}
-    for key in ("Lx", "Ly", "Lz", "mesh", "duration", "dt"):
+    for key in ("Lx", "Ly", "Lz", "mesh", "chamfer", "duration", "dt"):
         dv = DEFAULTS_6DOF[key]
         raw = _prompt(f"  {key} [{dv}]: ", str(dv))
         try:

@@ -128,8 +128,17 @@ def build_case_geometry(params: dict, shape_hint: tuple | None = None,
     the device-mesh axes for sharded runs — rounds nx/ny up (with solid
     zero-aperture padding) when 8-rounding alone does not."""
     if params.get("model") == "tank6dof":
-        from openfoam_tpp_tpu.mesh import build_box_geometry
+        from openfoam_tpp_tpu.mesh import (build_box_geometry,
+                                           build_chamfer_tank_geometry)
 
+        if float(params.get("chamfer", 0.0)) > 0.0:
+            # The tutorial tank's true shape class: 45°-chamfered
+            # bottom/top edges (blockMesh resources/sloshingTank3D,
+            # /root/reference/sloshingTank3D6DoF/Allrun:7).
+            return build_chamfer_tank_geometry(
+                params["Lx"], params["Ly"], params["Lz"], params["mesh"],
+                chamfer=float(params["chamfer"]), z0=-params["Lz"] / 2.0,
+            )
         return build_box_geometry(
             params["Lx"], params["Ly"], params["Lz"], params["mesh"],
             z0=-params["Lz"] / 2.0, open_top=False,

@@ -285,3 +285,71 @@ def build_box_geometry(
     az = np.ones((nx, ny, nz + 1))
     return _finalize("box", z0 + Lz, Lx, shape, spacing, origin,
                      vfrac, ax, ay, az, open_top=open_top)
+
+
+def chamfer_tank_volume(Lx: float, Ly: float, Lz: float,
+                        chamfer: float) -> float:
+    """Exact volume of the chamfered prism tank below: the box minus the
+    four corner wedges (each a right triangle c_y·c_z/2 extruded in x)."""
+    c = float(chamfer) * Lz
+    return Lx * (Ly * Lz - 2.0 * c * c)
+
+
+def build_chamfer_tank_geometry(
+    Lx: float,
+    Ly: float,
+    Lz: float,
+    mesh: float,
+    chamfer: float = 0.2,
+    z0: float | None = None,
+    nq: int = _NQ,
+) -> TankGeometry:
+    """Closed prism tank with 45°-chamfered bottom and top edges — the
+    sloshingTank3D tutorial-resource shape class, i.e. the true mesh of
+    the reference's 6DoF variant (`blockMesh -dict
+    $FOAM_TUTORIALS/resources/blockMesh/sloshingTank3D`,
+    /root/reference/sloshingTank3D6DoF/Allrun:7). The dict itself ships
+    with the OpenFOAM installation, not the reference repo, so the
+    chamfer depth is a parameter: the four long edges (±y, ±z) are cut
+    at 45° over a depth `chamfer`·Lz in both y and z, across the full x
+    extent; `chamfer=0` degenerates to the plain box. Cross-section in
+    (y, z) is the hexagon {|y| ≤ Ly/2, |z| ≤ Lz/2,
+    (|y|−yb) + (|z|−zb) ≤ c for |y|>yb, |z|>zb} with c = chamfer·Lz,
+    yb = Ly/2 − c, zb = Lz/2 − c.
+
+    Built with the same quadrature-sampled cut-cell apertures as the
+    cylinder tank (volume converges to `chamfer_tank_volume` — asserted
+    to <1% in tests/test_6dof.py::test_chamfer_tank_volume)."""
+    if not 0.0 <= chamfer < 0.5:
+        raise ValueError(f"chamfer fraction {chamfer} outside [0, 0.5)")
+    h = float(mesh)
+    nx = max(int(round(Lx / h)), 1)
+    ny = max(int(round(Ly / h)), 1)
+    nz = max(int(round(Lz / h)), 1)
+    spacing = (Lx / nx, Ly / ny, Lz / nz)
+    if z0 is None:
+        z0 = -Lz / 2.0
+    origin = (-Lx / 2.0, -Ly / 2.0, z0)
+    shape = (nx, ny, nz)
+    zc0 = z0 + Lz / 2.0  # cross-section center height
+    c = chamfer * Lz
+    yb = Ly / 2.0 - c
+    zb = Lz / 2.0 - c
+
+    def inside(x, y, z):
+        zz = np.abs(z - zc0)
+        yy = np.abs(y)
+        in_box = ((np.abs(x) <= Lx / 2.0) & (yy <= Ly / 2.0)
+                  & (zz <= Lz / 2.0))
+        if c <= 0.0:
+            return in_box
+        # 45° corner cut: active only in the corner quadrant.
+        cut_ok = (yy - yb) + (zz - zb) <= c + 1e-12
+        return in_box & (cut_ok | (yy <= yb) | (zz <= zb))
+
+    vfrac = _volume_fraction(inside, origin, spacing, shape, nq)
+    ax = _face_fraction(inside, 0, origin, spacing, shape, nq)
+    ay = _face_fraction(inside, 1, origin, spacing, shape, nq)
+    az = _face_fraction(inside, 2, origin, spacing, shape, nq)
+    return _finalize("chamfer", z0 + Lz, Lx, shape, spacing, origin,
+                     vfrac, ax, ay, az, open_top=False)

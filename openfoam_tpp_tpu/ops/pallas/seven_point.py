@@ -13,11 +13,18 @@ HBM traffic per grid step instead of three slabs. Mosaic double-buffers
 the block fetches automatically; x-neighbor slices are concatenations
 along the untiled major axis, y/z neighbors slice+concat shifts.
 
-Weight layout: the six per-face weight arrays are pre-split to CELL
-shape (`split_weights`): wxl[c] multiplies p[x−1], wxh[c] multiplies
-p[x+1], etc. Domain-boundary faces carry zero weight
-(mesh/geometry.py `_finalize`), which makes the wrap-around values of
-`roll` and the clamped end-blocks harmless — always multiplied by 0.
+Weight layout ("face-lite", r5): only the three LOW-face coefficient
+arrays are streamed (`split_weights`): wxl[c] is the weight on cell c's
+low-x face (multiplies p[x−1]); the HIGH-face coefficients are recovered
+in-kernel as one-plane-shifted views — the high face of cell c IS the
+low face of cell c+1 — with the final plane supplied as a dedicated
+x-plane view (select-zeroed at the global end block) for x and an
+in-register zero fill for y/z. The zero fills are EXACT, not an
+approximation: domain-boundary faces carry zero weight
+(mesh/geometry.py `_finalize`), the same invariant that makes the
+clamped halo index maps harmless. These kernels are HBM-bound, so
+halving the weight traffic (6 arrays → 3) is ~a third of each apply's
+total bytes; the extra in-register shifts ride the VPU slack.
 
 Requirements: nx divisible by SLAB (build the geometry with
 `round_to=SLAB`); f32. solver/poisson.py falls back to the jnp path
@@ -36,8 +43,46 @@ from jax.experimental.pallas import tpu as pltpu
 SLAB = 8  # x-planes per grid step; nx must be a multiple
 
 
+def _nb_core(c, pm_plane, pp_plane, wl, wy_, wz_, wxh_last, s, ny, nz):
+    """Face-lite neighbor sum in PRODUCT-SHIFT form.
+
+    The high-face terms never materialize the shifted weight arrays:
+    w_h[j]·p[j+1] = w_l[j+1]·p[j+1] = (w_l·p)[j+1] — shift the PRODUCT,
+    not the weight — so the per-axis VPU cost (one rotate for the low
+    shift of p, one for the high shift of the product) is identical to
+    the six-array kernel's (rotates of p for both low and high), while
+    the weight traffic is halved. Vacated high edges are the
+    domain-boundary faces (zero weight by mesh/geometry._finalize ⇒ the
+    true term is exactly 0); the x high edge instead takes
+    `wxh_last`·`pp_plane` (the next slab's first wxl plane — or zero at
+    the global end — times p's next plane). Bitwise-identical products
+    and add order vs the six-array form."""
+    xm = jnp.concatenate([pm_plane, c[: s - 1, :, :]], axis=0)
+    tx = wl * c
+    xh = jnp.concatenate([tx[1:, :, :], wxh_last * pp_plane], axis=0)
+    ym = jnp.concatenate([c[:, :1, :], c[:, : ny - 1, :]], axis=1)
+    ty = wy_ * c
+    yh = jnp.concatenate(
+        [ty[:, 1:, :], jnp.zeros_like(ty[:, :1, :])], axis=1)
+    zm = jnp.concatenate([c[:, :, :1], c[:, :, : nz - 1]], axis=2)
+    tz = wz_ * c
+    zh = jnp.concatenate(
+        [tz[:, :, 1:], jnp.zeros_like(tz[:, :, :1])], axis=2)
+    return wl * xm + xh + wy_ * ym + yh + wz_ * zm + zh
+
+
+def _wxh_last(wxh_p):
+    """The slab's last high-x face plane from its halo view (the next
+    slab's first wxl plane, index map clamped at the grid end): the end
+    block's clamped value is STALE (a weight is the multiplier itself,
+    unlike a p halo) — select the true boundary value, zero."""
+    v = wxh_p[0:1, :, :]
+    return jnp.where(pl.program_id(0) == pl.num_programs(0) - 1,
+                     jnp.zeros_like(v), v)
+
+
 def _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, s, ny, nz):
-    """Σ_f w_f·p_neighbor for the current slab.
+    """Σ_f w_f·p_neighbor for the current slab (expanded weights).
 
     x-neighbors: ONE-PLANE halo views of p (the plane below/above this
     slab; index maps clamped at the global ends, where the stray value
@@ -56,38 +101,44 @@ def _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, s, ny, nz):
     zm = jnp.concatenate([c[:, :, :1], c[:, :, : nz - 1]], axis=2)
     zp = jnp.concatenate([c[:, :, 1:], c[:, :, nz - 1 :]], axis=2)
     return (
-        wxl[:, :, :] * xm + wxh[:, :, :] * xp
-        + wyl[:, :, :] * ym + wyh[:, :, :] * yp
-        + wzl[:, :, :] * zm + wzh[:, :, :] * zp
+        wxl * xm + wxh * xp + wyl * ym + wyh * yp + wzl * zm + wzh * zp
     )
 
 
-def _kernel(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, diag, out):
+def _nb_sum_lite(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl, s, ny, nz):
+    """Face-lite neighbor sum for the single-device kernels: halo planes
+    from the clamped index-map views, product-shift core."""
+    return _nb_core(p_cur[:, :, :], p_prev[0:1, :, :], p_next[0:1, :, :],
+                    wxl[:, :, :], wyl[:, :, :], wzl[:, :, :],
+                    _wxh_last(wxh_p), s, ny, nz)
+
+
+def _kernel(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl, diag, out):
     s, ny, nz = out.shape
-    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
-                 s, ny, nz)
+    nb = _nb_sum_lite(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl,
+                      s, ny, nz)
     out[:, :, :] = diag[:, :, :] * p_cur[:, :, :] - nb
 
 
-def _kernel_unit(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh, out):
+def _kernel_unit(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl, out):
     """Unit-diagonal apply (the diagonally-scaled operator Â): skips the
     HBM read of an all-ones diag array — out = p − Σ w·p_nb."""
     s, ny, nz = out.shape
-    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
-                 s, ny, nz)
+    nb = _nb_sum_lite(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl,
+                      s, ny, nz)
     out[:, :, :] = p_cur[:, :, :] - nb
 
 
-def _kernel_apply_dot_unit(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh,
-                           wzl, wzh, out, partial):
+def _kernel_apply_dot_unit(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl,
+                           out, partial):
     """Unit-diagonal apply PLUS the CG curvature dot: writes A·p and the
     per-slab partial Σ p·(A·p) to SMEM, eliminating the separate
     dot(p, ap) HBM pass (reads p and ap again) that follows every CG
     apply across the Pallas fusion barrier."""
     s, ny, nz = out.shape
     c = p_cur[:, :, :]
-    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
-                 s, ny, nz)
+    nb = _nb_sum_lite(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl,
+                      s, ny, nz)
     ap = c - nb
     out[:, :, :] = ap
     # The partials vector lives whole in SMEM across the grid (constant
@@ -95,7 +146,7 @@ def _kernel_apply_dot_unit(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh,
     partial[pl.program_id(0)] = jnp.sum(c * ap, dtype=jnp.float32)
 
 
-def _kernel_resid(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
+def _kernel_resid(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl,
                   diag, b, out):
     """out = (b − A·p) / diag — the Jacobi-scaled residual, the inner op
     of every MG smoother iteration, in ONE fused pass (folds the apply,
@@ -103,35 +154,38 @@ def _kernel_resid(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
     as separate HBM passes)."""
     s, ny, nz = out.shape
     d = diag[:, :, :]
-    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
-                 s, ny, nz)
+    nb = _nb_sum_lite(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl,
+                      s, ny, nz)
     ax = d * p_cur[:, :, :] - nb
     out[:, :, :] = (b[:, :, :] - ax) / d
 
 
-def _kernel_resid_unit(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
+def _kernel_resid_unit(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl,
                        b, out):
     """Unit-diagonal residual: out = b − Â·p, no diag read, no divide."""
     s, ny, nz = out.shape
-    nb = _nb_sum(p_prev, p_cur, p_next, wxl, wxh, wyl, wyh, wzl, wzh,
-                 s, ny, nz)
+    nb = _nb_sum_lite(p_prev, p_cur, p_next, wxl, wxh_p, wyl, wzl,
+                      s, ny, nz)
     out[:, :, :] = b[:, :, :] - (p_cur[:, :, :] - nb)
 
 
 def split_weights(wx, wy, wz):
-    """Face weight arrays → six cell-shaped neighbor-coefficient arrays."""
-    return (
-        wx[:-1], wx[1:],
-        wy[:, :-1], wy[:, 1:],
-        wz[:, :, :-1], wz[:, :, 1:],
-    )
+    """Face weight arrays → the three cell-shaped LOW-face coefficient
+    arrays (face-lite layout, module docstring): wxl[c] multiplies
+    p[x−1]; the high-face coefficients are one-plane shifts recovered
+    in-kernel, with the vacated domain-edge plane zero — exact because
+    domain-boundary faces carry zero weight."""
+    return (wx[:-1], wy[:, :-1], wz[:, :, :-1])
 
 
 def _specs(nx, ny, nz):
-    """(p_prev-plane, p_cur-slab, p_next-plane) BlockSpecs: the halo views
-    are single planes — block index = element plane index for a block of
-    x-extent 1 — so p is fetched once per slab plus two planes, not three
-    full slabs."""
+    """(p_prev-plane, p_cur-slab, p_next-plane, slab-factory, wxh-plane)
+    BlockSpecs: the halo views are single planes — block index = element
+    plane index for a block of x-extent 1 — so p is fetched once per
+    slab plus two planes, not three full slabs. The wxh plane view (same
+    index map as p_next) supplies the slab's last high-x face weights
+    from the NEXT slab's first wxl plane (select-zeroed at the end
+    block, `_wxh_last`)."""
 
     def blk(index_map=lambda i: (i, 0, 0)):
         return pl.BlockSpec((SLAB, ny, nz), index_map,
@@ -142,12 +196,21 @@ def _specs(nx, ny, nz):
                             memory_space=pltpu.VMEM)
 
     last = nx - 1
+    nxt = plane(lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0))
     return (
         plane(lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0)),      # p_prev
         blk(),                                                       # p_cur
-        plane(lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0)),  # p_next
+        nxt,                                                         # p_next
         blk,
+        nxt,                                                         # wxh_p
     )
+
+
+def _w_specs_args(split, blk, wxh_plane):
+    """(specs, args) for the face-lite weight operands: wxl as the slab
+    block PLUS its +SLAB plane view, wyl/wzl as slab blocks."""
+    wxl, wyl, wzl = split
+    return ([blk(), wxh_plane, blk(), blk()], [wxl, wxl, wyl, wzl])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -157,24 +220,25 @@ def apply_7pt(p, split, diag=None, interpret=False):
     array streamed per apply."""
     nx, ny, nz = p.shape
     assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
-    prev, cur, nxt, blk = _specs(nx, ny, nz)
+    prev, cur, nxt, blk, wxh_p = _specs(nx, ny, nz)
+    w_specs, w_args = _w_specs_args(split, blk, wxh_p)
     if diag is None:
         return pl.pallas_call(
             _kernel_unit,
             grid=(nx // SLAB,),
-            in_specs=[prev, cur, nxt] + [blk() for _ in range(6)],
+            in_specs=[prev, cur, nxt] + w_specs,
             out_specs=blk(),
             out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
             interpret=interpret,
-        )(p, p, p, *split)
+        )(p, p, p, *w_args)
     return pl.pallas_call(
         _kernel,
         grid=(nx // SLAB,),
-        in_specs=[prev, cur, nxt] + [blk() for _ in range(7)],
+        in_specs=[prev, cur, nxt] + w_specs + [blk()],
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         interpret=interpret,
-    )(p, p, p, *split, diag)
+    )(p, p, p, *w_args, diag)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -183,24 +247,25 @@ def resid_scaled_7pt(p, split, diag, b, interpret=False):
     `diag=None` = unit diagonal: b − Â·p with no diag read or divide."""
     nx, ny, nz = p.shape
     assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
-    prev, cur, nxt, blk = _specs(nx, ny, nz)
+    prev, cur, nxt, blk, wxh_p = _specs(nx, ny, nz)
+    w_specs, w_args = _w_specs_args(split, blk, wxh_p)
     if diag is None:
         return pl.pallas_call(
             _kernel_resid_unit,
             grid=(nx // SLAB,),
-            in_specs=[prev, cur, nxt] + [blk() for _ in range(7)],
+            in_specs=[prev, cur, nxt] + w_specs + [blk()],
             out_specs=blk(),
             out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
             interpret=interpret,
-        )(p, p, p, *split, b)
+        )(p, p, p, *w_args, b)
     return pl.pallas_call(
         _kernel_resid,
         grid=(nx // SLAB,),
-        in_specs=[prev, cur, nxt] + [blk() for _ in range(8)],
+        in_specs=[prev, cur, nxt] + w_specs + [blk(), blk()],
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         interpret=interpret,
-    )(p, p, p, *split, diag, b)
+    )(p, p, p, *w_args, diag, b)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -210,12 +275,13 @@ def apply_dot_7pt(p, split, interpret=False):
     Unit-diagonal (scaled space) only — that is the only place CG runs."""
     nx, ny, nz = p.shape
     assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
-    prev, cur, nxt, blk = _specs(nx, ny, nz)
+    prev, cur, nxt, blk, wxh_p = _specs(nx, ny, nz)
+    w_specs, w_args = _w_specs_args(split, blk, wxh_p)
     nblk = nx // SLAB
     ap, partials = pl.pallas_call(
         _kernel_apply_dot_unit,
         grid=(nblk,),
-        in_specs=[prev, cur, nxt] + [blk() for _ in range(6)],
+        in_specs=[prev, cur, nxt] + w_specs,
         out_specs=(
             blk(),
             pl.BlockSpec((nblk,), lambda i: (0,), memory_space=pltpu.SMEM),
@@ -225,7 +291,7 @@ def apply_dot_7pt(p, split, interpret=False):
             jax.ShapeDtypeStruct((nblk,), jnp.float32),
         ),
         interpret=interpret,
-    )(p, p, p, *split)
+    )(p, p, p, *w_args)
     return ap, jnp.sum(partials)
 
 
@@ -257,6 +323,32 @@ def _hat_apply(xm, xc, xp, w6, ny, nz):
     return xc - nb
 
 
+def _expand_w_ext(wxl_m, wxl_c, wxl_p1, wxl_p2,
+                  wyl_m, wyl_c, wyl_p, wzl_m, wzl_c, wzl_p):
+    """Face-lite → the six coefficient arrays over the cheb kernels'
+    EXTENDED range (cells gi−1 … gi+s, s+2 planes). wxh over that range
+    is wxl[gi … gi+s+1] = (cur slab, +SLAB plane, +SLAB+1 plane); the
+    two planes are select-zeroed at the end block (true boundary /
+    halo-plane high-face weights — matches the pre-face-lite kernels'
+    clamped wxh views bitwise, since wxh[nx−1] = wx[nx] = 0). wyh/wzh
+    are in-plane shifts with exact-zero boundary-face fills."""
+    end = pl.program_id(0) == pl.num_programs(0) - 1
+    p1 = wxl_p1[...]
+    p2 = wxl_p2[...]
+    p1z = jnp.where(end, jnp.zeros_like(p1), p1)
+    p2z = jnp.where(end, jnp.zeros_like(p2), p2)
+    c = wxl_c[...]
+    wxl_e = jnp.concatenate([wxl_m[...], c, p1], axis=0)
+    wxh_e = jnp.concatenate([c, p1z, p2z], axis=0)
+    wyl_e = jnp.concatenate([wyl_m[...], wyl_c[...], wyl_p[...]], axis=0)
+    wyh_e = jnp.concatenate(
+        [wyl_e[:, 1:, :], jnp.zeros_like(wyl_e[:, :1, :])], axis=1)
+    wzl_e = jnp.concatenate([wzl_m[...], wzl_c[...], wzl_p[...]], axis=0)
+    wzh_e = jnp.concatenate(
+        [wzl_e[:, :, 1:], jnp.zeros_like(wzl_e[:, :, :1])], axis=2)
+    return (wxl_e, wxh_e, wyl_e, wyh_e, wzl_e, wzh_e)
+
+
 def _cheb_coefs(lmax, lmin_frac):
     a, c = lmin_frac * lmax, 1.02 * lmax
     theta = 0.5 * (c + a)
@@ -269,9 +361,8 @@ def _cheb_coefs(lmax, lmin_frac):
 
 def _kernel_cheb2_pre(theta, c_pp, c_pd,
                       b_m2, b_m1, b_c, b_p1, b_p2,
-                      wxl_m, wxl_c, wxl_p, wxh_m, wxh_c, wxh_p,
-                      wyl_m, wyl_c, wyl_p, wyh_m, wyh_c, wyh_p,
-                      wzl_m, wzl_c, wzl_p, wzh_m, wzh_c, wzh_p,
+                      wxl_m, wxl_c, wxl_p1, wxl_p2,
+                      wyl_m, wyl_c, wyl_p, wzl_m, wzl_c, wzl_p,
                       x_out, r_out):
     """Degree-2 Chebyshev from x≡0 on Â, PLUS the post-smooth residual:
     x = cheb2(0, b), r = b − Â·x — the V-cycle entry's full top-level
@@ -279,11 +370,8 @@ def _kernel_cheb2_pre(theta, c_pp, c_pd,
     s, ny, nz = x_out.shape
     be = jnp.concatenate(
         [r[...] for r in (b_m2, b_m1, b_c, b_p1, b_p2)], axis=0)  # s+4
-    w6e = tuple(
-        jnp.concatenate([m[...], c[...], p[...]], axis=0)          # s+2
-        for m, c, p in ((wxl_m, wxl_c, wxl_p), (wxh_m, wxh_c, wxh_p),
-                        (wyl_m, wyl_c, wyl_p), (wyh_m, wyh_c, wyh_p),
-                        (wzl_m, wzl_c, wzl_p), (wzh_m, wzh_c, wzh_p)))
+    w6e = _expand_w_ext(wxl_m, wxl_c, wxl_p1, wxl_p2,               # s+2
+                        wyl_m, wyl_c, wyl_p, wzl_m, wzl_c, wzl_p)
     # x1 = p1 = b/θ  (cells gi−2 … gi+s+1).
     x1e = be / theta
     # d1 = b − Â·x1 on the weight range (cells gi−1 … gi+s).
@@ -303,9 +391,8 @@ def _kernel_cheb2_pre(theta, c_pp, c_pd,
 def _kernel_cheb2_post(theta, c_pp, c_pd,
                        x_m2, x_m1, x_c, x_p1, x_p2,
                        b_m1, b_c, b_p1,
-                       wxl_m, wxl_c, wxl_p, wxh_m, wxh_c, wxh_p,
-                       wyl_m, wyl_c, wyl_p, wyh_m, wyh_c, wyh_p,
-                       wzl_m, wzl_c, wzl_p, wzh_m, wzh_c, wzh_p,
+                       wxl_m, wxl_c, wxl_p1, wxl_p2,
+                       wyl_m, wyl_c, wyl_p, wzl_m, wzl_c, wzl_p,
                        x_out):
     """Degree-2 Chebyshev continuation from the corrected x (the
     V-cycle's post-smooth) in one pass. `x_out` may be a wider dtype
@@ -316,11 +403,8 @@ def _kernel_cheb2_post(theta, c_pp, c_pd,
         [r[...] for r in (x_m2, x_m1, x_c, x_p1, x_p2)], axis=0)  # s+4
     be = jnp.concatenate(
         [r[...] for r in (b_m1, b_c, b_p1)], axis=0)               # s+2
-    w6e = tuple(
-        jnp.concatenate([m[...], c[...], p[...]], axis=0)
-        for m, c, p in ((wxl_m, wxl_c, wxl_p), (wxh_m, wxh_c, wxh_p),
-                        (wyl_m, wyl_c, wyl_p), (wyh_m, wyh_c, wyh_p),
-                        (wzl_m, wzl_c, wzl_p), (wzh_m, wzh_c, wzh_p)))
+    w6e = _expand_w_ext(wxl_m, wxl_c, wxl_p1, wxl_p2,
+                        wyl_m, wyl_c, wyl_p, wzl_m, wzl_c, wzl_p)
     # d1 = b − Â·x on cells gi−1 … gi+s.
     ax = _hat_apply(xe[: s + 2], xe[1 : s + 3], xe[2 : s + 4],
                     w6e, ny, nz)
@@ -338,9 +422,8 @@ def _kernel_cheb2_post(theta, c_pp, c_pd,
 def _kernel_cheb2_post_dot(theta, c_pp, c_pd,
                            x_m2, x_m1, x_c, x_p1, x_p2,
                            b_m1, b_c, b_p1,
-                           wxl_m, wxl_c, wxl_p, wxh_m, wxh_c, wxh_p,
-                           wyl_m, wyl_c, wyl_p, wyh_m, wyh_c, wyh_p,
-                           wzl_m, wzl_c, wzl_p, wzh_m, wzh_c, wzh_p,
+                           wxl_m, wxl_c, wxl_p1, wxl_p2,
+                           wyl_m, wyl_c, wyl_p, wzl_m, wzl_c, wzl_p,
                            x_out, partial):
     """cheb2_post PLUS the CG coupling dot Σ b·x_out (per-slab partial
     to SMEM): b is the residual r the V-cycle preconditions and x_out
@@ -353,11 +436,8 @@ def _kernel_cheb2_post_dot(theta, c_pp, c_pd,
         [r[...] for r in (x_m2, x_m1, x_c, x_p1, x_p2)], axis=0)  # s+4
     be = jnp.concatenate(
         [r[...] for r in (b_m1, b_c, b_p1)], axis=0)               # s+2
-    w6e = tuple(
-        jnp.concatenate([m[...], c[...], p[...]], axis=0)
-        for m, c, p in ((wxl_m, wxl_c, wxl_p), (wxh_m, wxh_c, wxh_p),
-                        (wyl_m, wyl_c, wyl_p), (wyh_m, wyh_c, wyh_p),
-                        (wzl_m, wzl_c, wzl_p), (wzh_m, wzh_c, wzh_p)))
+    w6e = _expand_w_ext(wxl_m, wxl_c, wxl_p1, wxl_p2,
+                        wyl_m, wyl_c, wyl_p, wzl_m, wzl_c, wzl_p)
     ax = _hat_apply(xe[: s + 2], xe[1 : s + 3], xe[2 : s + 4],
                     w6e, ny, nz)
     d1 = be - ax
@@ -391,6 +471,15 @@ def _halo_specs(nx, ny, nz):
     return blk, m2, m1, p1, p2
 
 
+def _w_specs_args_ext(split, blk, m1, p1, p2):
+    """(specs, args) for the cheb kernels' face-lite weight operands:
+    wxl as (m1, slab, +SLAB, +SLAB+1) views, wyl/wzl as (m1, slab, p1)."""
+    wxl, wyl, wzl = split
+    specs = [m1, blk(), p1, p2, m1, blk(), p1, m1, blk(), p1]
+    args = [wxl, wxl, wxl, wxl, wyl, wyl, wyl, wzl, wzl, wzl]
+    return specs, args
+
+
 @functools.partial(jax.jit,
                    static_argnames=("lmax", "lmin_frac", "interpret"))
 def cheb2_pre_7pt(b, split, lmax, lmin_frac, interpret=False):
@@ -400,10 +489,7 @@ def cheb2_pre_7pt(b, split, lmax, lmin_frac, interpret=False):
     theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
     blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz)
 
-    w_specs, w_args = [], []
-    for w in split:
-        w_specs += [m1, blk(), p1]
-        w_args += [w, w, w]
+    w_specs, w_args = _w_specs_args_ext(split, blk, m1, p1, p2)
     return pl.pallas_call(
         functools.partial(_kernel_cheb2_pre, theta, c_pp, c_pd),
         grid=(nx // SLAB,),
@@ -428,10 +514,7 @@ def cheb2_post_7pt(x, b, split, lmax, lmin_frac, out_dtype=None,
     theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
     blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz)
 
-    w_specs, w_args = [], []
-    for w in split:
-        w_specs += [m1, blk(), p1]
-        w_args += [w, w, w]
+    w_specs, w_args = _w_specs_args_ext(split, blk, m1, p1, p2)
     return pl.pallas_call(
         functools.partial(_kernel_cheb2_post, theta, c_pp, c_pd),
         grid=(nx // SLAB,),
@@ -456,10 +539,7 @@ def cheb2_post_dot_7pt(x, b, split, lmax, lmin_frac, out_dtype=None,
     blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz)
     nblk = nx // SLAB
 
-    w_specs, w_args = [], []
-    for w in split:
-        w_specs += [m1, blk(), p1]
-        w_args += [w, w, w]
+    w_specs, w_args = _w_specs_args_ext(split, blk, m1, p1, p2)
     z, partials = pl.pallas_call(
         functools.partial(_kernel_cheb2_post_dot, theta, c_pp, c_pd),
         grid=(nblk,),

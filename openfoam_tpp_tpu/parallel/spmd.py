@@ -128,6 +128,21 @@ def _edge_fill(a, width, edge, lo):
     return jnp.broadcast_to(plane, (width,) + a.shape[1:])
 
 
+def exchange_hi(a, width: int, axis_name: str, edge: str = "zero"):
+    """One-sided halo: the right neighbor's FIRST `width` planes only
+    (no lo-side ppermute — for operands whose kernels need just the
+    high-x continuation, e.g. the face-lite wxl weight array)."""
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        return _edge_fill(a, width, edge, lo=False)
+    hi = lax.ppermute(a[:width], axis_name,
+                      [(i + 1, i) for i in range(n - 1)])
+    if edge == "clamp":
+        hi = jnp.where(lax.axis_index(axis_name) == n - 1,
+                       _edge_fill(a, width, "clamp", lo=False), hi)
+    return hi
+
+
 def psum_scalar(x, axis_name):
     return lax.psum(x, axis_name)
 
@@ -145,17 +160,21 @@ def pmax_scalar(x, axis_name):
 
 
 def apply_7pt(p, split, ctx: SpmdCtx, diag=None):
-    """Â(p) (or A(p) with diag) — per-shard fused kernel, ±1 halo."""
+    """Â(p) (or A(p) with diag) — per-shard fused kernel, ±1 halo. The
+    face-lite wxl weight array additionally sends its first plane left
+    (the neighbor's missing high-face plane; zero at the global end,
+    the sealed wall's boundary-face weight)."""
     from openfoam_tpp_tpu.ops.pallas import halo7
 
     s = ctx.spec
     nw = len(split) + (0 if diag is None else 1)
 
-    def f(p, *ws):
+    def f(p, wxl, wyl, wzl, *extra):
         lo, hi = exchange_halo(p, 1, ctx.axis)
-        d = ws[6] if diag is not None else None
-        return halo7.apply_7pt_h(p, lo, hi, ws[:6], diag=d,
-                                 interpret=ctx.interpret)
+        wx_hi = exchange_hi(wxl, 1, ctx.axis, edge="zero")
+        d = extra[0] if diag is not None else None
+        return halo7.apply_7pt_h(p, lo, hi, wx_hi, (wxl, wyl, wzl),
+                                 diag=d, interpret=ctx.interpret)
 
     args = split if diag is None else (*split, diag)
     return ctx.smap(f, (s,) * (1 + nw), s)(p, *args)
@@ -168,11 +187,12 @@ def resid_scaled_7pt(p, split, ctx: SpmdCtx, b, diag=None):
     s = ctx.spec
     nw = len(split) + (0 if diag is None else 1)
 
-    def f(p, b, *ws):
+    def f(p, b, wxl, wyl, wzl, *extra):
         lo, hi = exchange_halo(p, 1, ctx.axis)
-        d = ws[6] if diag is not None else None
-        return halo7.resid_scaled_7pt_h(p, lo, hi, ws[:6], b, diag=d,
-                                        interpret=ctx.interpret)
+        wx_hi = exchange_hi(wxl, 1, ctx.axis, edge="zero")
+        d = extra[0] if diag is not None else None
+        return halo7.resid_scaled_7pt_h(p, lo, hi, wx_hi, (wxl, wyl, wzl),
+                                        b, diag=d, interpret=ctx.interpret)
 
     args = split if diag is None else (*split, diag)
     return ctx.smap(f, (s,) * (2 + nw), s)(p, b, *args)
@@ -184,13 +204,15 @@ def apply_dot_7pt(p, split, ctx: SpmdCtx):
 
     s = ctx.spec
 
-    def f(p, *ws):
+    def f(p, wxl, wyl, wzl):
         lo, hi = exchange_halo(p, 1, ctx.axis)
-        ap, part = halo7.apply_dot_7pt_h(p, lo, hi, ws,
+        wx_hi = exchange_hi(wxl, 1, ctx.axis, edge="zero")
+        ap, part = halo7.apply_dot_7pt_h(p, lo, hi, wx_hi,
+                                         (wxl, wyl, wzl),
                                          interpret=ctx.interpret)
         return ap, psum_scalar(part, ctx.axis)
 
-    return ctx.smap(f, (s,) * 7, (s, ctx.rep))(p, *split)
+    return ctx.smap(f, (s,) * 4, (s, ctx.rep))(p, *split)
 
 
 def flux_all(alpha, phis_cell, ucs_cell, ctx: SpmdCtx, anti_dtype=None):

@@ -16,12 +16,17 @@ dynamicMeshDict `CofG (0 0 0)`).
 Angular velocity from the xyz-Euler-angle table (R = Rz·Ry·Rx, see
 core/motion.py:rotation_matrix):
 
-    ω_lab = ċ ẑ + ḃ (Rz ŷ) + ȧ (Rz Ry x̂),   ω_body = Rᵀ ω_lab
+    ω_lab = ċ ẑ + ḃ (Rz ŷ) + ȧ (Rz Ry x̂) = E(b, c) · (ȧ, ḃ, ċ),
+    ω_body = Rᵀ ω_lab
 
-dω is mapped the same way from the tabulated second derivatives; the
-Euler-rate coupling terms (products of rates, O(ω²·angle)) are dropped —
-negligible for the reference's gentle prescribed motions (rates ≤ 0.8
-rad/s, gen6DoF.C:44-60).
+dω is EXACT (r5): ω̇_lab = E·(ä, b̈, c̈) + Ė·(ȧ, ḃ, ċ) — the second
+term is the Euler-rate coupling (products of rates, O(ω²)), dropped in
+earlier rounds as negligible for the reference's gentle tables (rates
+≤ 0.8 rad/s, gen6DoF.C:44-60) and now carried analytically so
+aggressive user tables are handled too. ω̇_body = Rᵀ ω̇_lab holds
+exactly (Ṙ = R[ω_body]× and [ω]×ω = 0), so no body-frame correction
+is needed. Validated against a central-difference of ω_body(t) on a
+large-rate table (tests/test_6dof.py::test_angular_rates_coupling).
 """
 
 from __future__ import annotations
@@ -68,7 +73,16 @@ def angular_rates(motion, t):
     ex = jnp.stack([cz * cy, sz * cy, -sy])             # Rz·Ry·x̂
     E = jnp.stack([ex, ey, ez], axis=1)                 # (3 lab, 3 rates)
     omega_body = R.T @ (E @ rates)
-    domega_body = R.T @ (E @ rates2)
+    # Euler-rate coupling: Ė·rates, with Ėz = 0 and
+    #   Ėy = ċ·(−cz, −sz, 0),  Ėx = ċ·(−sz·cy, cz·cy, 0) + ḃ·(−cz·sy,
+    #   −sz·sy, −cy)  (chain rule on the columns above).
+    da, db, dc = rates[0], rates[1], rates[2]
+    edot_x = jnp.stack([-sz * cy * dc - cz * sy * db,
+                        cz * cy * dc - sz * sy * db,
+                        -cy * db])
+    edot_y = jnp.stack([-cz * dc, -sz * dc, 0.0 * dc])
+    coupling = da * edot_x + db * edot_y
+    domega_body = R.T @ (E @ rates2 + coupling)
     return omega_body, domega_body
 
 
