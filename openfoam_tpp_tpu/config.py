@@ -104,6 +104,17 @@ class SolverControls:
                                  # single-device paths; requires
                                  # nx % 8 == 0 (geometry round_to=8) —
                                  # silently falls back otherwise.
+    batch_lanes: bool = False    # the step runs vmapped with the case
+                                 # axis in the lanes (geometry-batched
+                                 # sweeps, parallel/sweep.py): the
+                                 # 7-point pressure kernels reroute to
+                                 # their batch-native rank-4 variants
+                                 # via custom_vmap (ops/pallas/
+                                 # seven_point_batch.py) while the
+                                 # single-grid MULES kernels stay OFF
+                                 # (their vmap lowering is one grid
+                                 # program per case — measured slower
+                                 # than the lane-vectorized jnp path).
     n_correctors: int = 1        # PIMPLE pressure correctors
                                  # (fvSolution:81 nCorrectors 2). One MAC
                                  # projection is already exact to solver

@@ -40,7 +40,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SLAB = 8  # x-planes per grid step; nx must be a multiple
+SLAB = 8  # x-planes per grid step on the flagship-class grids (and the
+          # fixed slab of the halo7/spmd per-shard variants); grids whose
+          # nx is only a multiple of 4 (sweep boxes, round_to=4) run a
+          # 4-plane slab via `pick_slab`.
+
+
+def pick_slab(nx: int) -> int | None:
+    """Slab (x-planes per grid step) for an nx extent; None = infeasible."""
+    if nx % 8 == 0:
+        return 8
+    if nx % 4 == 0:
+        return 4
+    return None
 
 
 def _nb_core(c, pm_plane, pp_plane, wl, wy_, wz_, wxh_last, s, ny, nz):
@@ -178,7 +190,7 @@ def split_weights(wx, wy, wz):
     return (wx[:-1], wy[:, :-1], wz[:, :, :-1])
 
 
-def _specs(nx, ny, nz):
+def _specs(nx, ny, nz, slab):
     """(p_prev-plane, p_cur-slab, p_next-plane, slab-factory, wxh-plane)
     BlockSpecs: the halo views are single planes — block index = element
     plane index for a block of x-extent 1 — so p is fetched once per
@@ -188,7 +200,7 @@ def _specs(nx, ny, nz):
     block, `_wxh_last`)."""
 
     def blk(index_map=lambda i: (i, 0, 0)):
-        return pl.BlockSpec((SLAB, ny, nz), index_map,
+        return pl.BlockSpec((slab, ny, nz), index_map,
                             memory_space=pltpu.VMEM)
 
     def plane(index_map):
@@ -196,9 +208,9 @@ def _specs(nx, ny, nz):
                             memory_space=pltpu.VMEM)
 
     last = nx - 1
-    nxt = plane(lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0))
+    nxt = plane(lambda i: (jnp.minimum((i + 1) * slab, last), 0, 0))
     return (
-        plane(lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0)),      # p_prev
+        plane(lambda i: (jnp.maximum(i * slab - 1, 0), 0, 0)),      # p_prev
         blk(),                                                       # p_cur
         nxt,                                                         # p_next
         blk,
@@ -219,13 +231,14 @@ def apply_7pt(p, split, diag=None, interpret=False):
     `diag=None` = unit diagonal (the scaled operator Â) — one fewer HBM
     array streamed per apply."""
     nx, ny, nz = p.shape
-    assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
-    prev, cur, nxt, blk, wxh_p = _specs(nx, ny, nz)
+    slab = pick_slab(nx)
+    assert slab, f"nx={nx} not a multiple of 4"
+    prev, cur, nxt, blk, wxh_p = _specs(nx, ny, nz, slab)
     w_specs, w_args = _w_specs_args(split, blk, wxh_p)
     if diag is None:
         return pl.pallas_call(
             _kernel_unit,
-            grid=(nx // SLAB,),
+            grid=(nx // slab,),
             in_specs=[prev, cur, nxt] + w_specs,
             out_specs=blk(),
             out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
@@ -233,7 +246,7 @@ def apply_7pt(p, split, diag=None, interpret=False):
         )(p, p, p, *w_args)
     return pl.pallas_call(
         _kernel,
-        grid=(nx // SLAB,),
+        grid=(nx // slab,),
         in_specs=[prev, cur, nxt] + w_specs + [blk()],
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
@@ -246,13 +259,14 @@ def resid_scaled_7pt(p, split, diag, b, interpret=False):
     """(b − A·p)/diag via the fused kernel (smoother inner op).
     `diag=None` = unit diagonal: b − Â·p with no diag read or divide."""
     nx, ny, nz = p.shape
-    assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
-    prev, cur, nxt, blk, wxh_p = _specs(nx, ny, nz)
+    slab = pick_slab(nx)
+    assert slab, f"nx={nx} not a multiple of 4"
+    prev, cur, nxt, blk, wxh_p = _specs(nx, ny, nz, slab)
     w_specs, w_args = _w_specs_args(split, blk, wxh_p)
     if diag is None:
         return pl.pallas_call(
             _kernel_resid_unit,
-            grid=(nx // SLAB,),
+            grid=(nx // slab,),
             in_specs=[prev, cur, nxt] + w_specs + [blk()],
             out_specs=blk(),
             out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
@@ -260,7 +274,7 @@ def resid_scaled_7pt(p, split, diag, b, interpret=False):
         )(p, p, p, *w_args, b)
     return pl.pallas_call(
         _kernel_resid,
-        grid=(nx // SLAB,),
+        grid=(nx // slab,),
         in_specs=[prev, cur, nxt] + w_specs + [blk(), blk()],
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
@@ -274,10 +288,11 @@ def apply_dot_7pt(p, split, interpret=False):
     per x-slab lands in SMEM; the final Σ over ~nx/SLAB scalars is free.
     Unit-diagonal (scaled space) only — that is the only place CG runs."""
     nx, ny, nz = p.shape
-    assert nx % SLAB == 0, f"nx={nx} not a multiple of SLAB={SLAB}"
-    prev, cur, nxt, blk, wxh_p = _specs(nx, ny, nz)
+    slab = pick_slab(nx)
+    assert slab, f"nx={nx} not a multiple of 4"
+    prev, cur, nxt, blk, wxh_p = _specs(nx, ny, nz, slab)
     w_specs, w_args = _w_specs_args(split, blk, wxh_p)
-    nblk = nx // SLAB
+    nblk = nx // slab
     ap, partials = pl.pallas_call(
         _kernel_apply_dot_unit,
         grid=(nblk,),
@@ -454,9 +469,9 @@ def _kernel_cheb2_post_dot(theta, c_pp, c_pd,
         dtype=jnp.float32)
 
 
-def _halo_specs(nx, ny, nz):
+def _halo_specs(nx, ny, nz, slab):
     def blk():
-        return pl.BlockSpec((SLAB, ny, nz), lambda i: (i, 0, 0),
+        return pl.BlockSpec((slab, ny, nz), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def plane(index_map):
@@ -464,10 +479,10 @@ def _halo_specs(nx, ny, nz):
                             memory_space=pltpu.VMEM)
 
     last = nx - 1
-    m2 = plane(lambda i: (jnp.maximum(i * SLAB - 2, 0), 0, 0))
-    m1 = plane(lambda i: (jnp.maximum(i * SLAB - 1, 0), 0, 0))
-    p1 = plane(lambda i: (jnp.minimum((i + 1) * SLAB, last), 0, 0))
-    p2 = plane(lambda i: (jnp.minimum((i + 1) * SLAB + 1, last), 0, 0))
+    m2 = plane(lambda i: (jnp.maximum(i * slab - 2, 0), 0, 0))
+    m1 = plane(lambda i: (jnp.maximum(i * slab - 1, 0), 0, 0))
+    p1 = plane(lambda i: (jnp.minimum((i + 1) * slab, last), 0, 0))
+    p2 = plane(lambda i: (jnp.minimum((i + 1) * slab + 1, last), 0, 0))
     return blk, m2, m1, p1, p2
 
 
@@ -485,14 +500,15 @@ def _w_specs_args_ext(split, blk, m1, p1, p2):
 def cheb2_pre_7pt(b, split, lmax, lmin_frac, interpret=False):
     """(x, r) = (cheb2-smooth of Â x = b from zero, b − Â·x) — one pass."""
     nx, ny, nz = b.shape
-    assert nx % SLAB == 0
+    slab = pick_slab(nx)
+    assert slab, f"nx={nx} not a multiple of 4"
     theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
-    blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz)
+    blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz, slab)
 
     w_specs, w_args = _w_specs_args_ext(split, blk, m1, p1, p2)
     return pl.pallas_call(
         functools.partial(_kernel_cheb2_pre, theta, c_pp, c_pd),
-        grid=(nx // SLAB,),
+        grid=(nx // slab,),
         in_specs=[m2, m1, blk(), p1, p2] + w_specs,
         out_specs=(blk(), blk()),
         out_shape=(jax.ShapeDtypeStruct(b.shape, b.dtype),
@@ -510,14 +526,15 @@ def cheb2_post_7pt(x, b, split, lmax, lmin_frac, out_dtype=None,
     `out_dtype` widens the result on the store (the V-cycle's bf16→f32
     hand-off back to CG), replacing a separate astype HBM pass."""
     nx, ny, nz = b.shape
-    assert nx % SLAB == 0
+    slab = pick_slab(nx)
+    assert slab, f"nx={nx} not a multiple of 4"
     theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
-    blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz)
+    blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz, slab)
 
     w_specs, w_args = _w_specs_args_ext(split, blk, m1, p1, p2)
     return pl.pallas_call(
         functools.partial(_kernel_cheb2_post, theta, c_pp, c_pd),
-        grid=(nx // SLAB,),
+        grid=(nx // slab,),
         in_specs=[m2, m1, blk(), p1, p2, m1, blk(), p1] + w_specs,
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct(b.shape, out_dtype or b.dtype),
@@ -534,10 +551,11 @@ def cheb2_post_dot_7pt(x, b, split, lmax, lmin_frac, out_dtype=None,
     smoother fused with CG's rz coupling dot (see _kernel_cheb2_post_dot
     for the precision caveat)."""
     nx, ny, nz = b.shape
-    assert nx % SLAB == 0
+    slab = pick_slab(nx)
+    assert slab, f"nx={nx} not a multiple of 4"
     theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
-    blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz)
-    nblk = nx // SLAB
+    blk, m2, m1, p1, p2 = _halo_specs(nx, ny, nz, slab)
+    nblk = nx // slab
 
     w_specs, w_args = _w_specs_args_ext(split, blk, m1, p1, p2)
     z, partials = pl.pallas_call(
@@ -561,10 +579,12 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
 
 
 def supported(shape, dtype=jnp.float32) -> bool:
-    """f32 and bf16 grids with nx a SLAB multiple; slab working set
-    (12 arrays for the resid kernel × double buffering) must fit VMEM."""
+    """f32 and bf16 grids with nx a multiple of 4 (slab 8 on 8-multiples,
+    else 4 — `pick_slab`); slab working set (12 arrays for the resid
+    kernel × double buffering) must fit VMEM."""
     nx, ny, nz = shape
-    if nx % SLAB or min(ny, nz) < 8:
+    slab = pick_slab(nx)
+    if slab is None or min(ny, nz) < 8:
         return False
     if dtype == jnp.float32:
         itemsize = 4
@@ -572,9 +592,257 @@ def supported(shape, dtype=jnp.float32) -> bool:
         itemsize = 2
     else:
         return False
-    slab_bytes = SLAB * ny * _round_up(nz, 128) * itemsize
+    slab_bytes = slab * ny * _round_up(nz, 128) * itemsize
     return 12 * 2 * slab_bytes <= _VMEM_BUDGET
 
 
 def _round_up(n, m):
     return -(-n // m) * m
+
+
+# ------------------------------------------------------------------ sweep
+# batch routing: custom_vmap wrappers. Outside vmap these are the plain
+# single-grid kernels above; under `jax.vmap` (the geometry-batched
+# sweep, parallel/sweep.py) the rule reroutes to the BATCH-NATIVE rank-4
+# kernels (ops/pallas/seven_point_batch.py) — case axis in the lanes —
+# instead of the Pallas batching rule's one-grid-program-per-case
+# lowering whose per-case nz lane padding measured SLOWER than jnp
+# (docs/ROADMAP.md §3b). The rule moves custom_vmap's leading batch axis
+# back to trailing; with the sweep's native case-minor layout XLA
+# cancels the two moveaxis ops, so the reroute is layout-free.
+# Falls back to the vmapped single-grid kernel when an operand is
+# unbatched or the batched shape fails `supported4` (VMEM).
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _mv(a):
+    return jnp.moveaxis(a, 0, -1)
+
+
+def _batch_ok(axis_size, in_batched, ref):
+    from openfoam_tpp_tpu.ops.pallas import seven_point_batch as sb
+
+    return all(in_batched) and sb.supported4(
+        tuple(ref.shape[1:]) + (axis_size,), ref.dtype)
+
+
+from jax.custom_batching import custom_vmap  # noqa: E402
+
+
+@custom_vmap
+def apply_7pt_v(p, wxl, wyl, wzl):
+    """Â(p) (unit diagonal) — batch-aware routing (module note above)."""
+    return apply_7pt(p, (wxl, wyl, wzl), interpret=_interp())
+
+
+@apply_7pt_v.def_vmap
+def _apply_7pt_v_rule(axis_size, in_batched, p, wxl, wyl, wzl):
+    from openfoam_tpp_tpu.ops.pallas import seven_point_batch as sb
+
+    if _batch_ok(axis_size, in_batched, p):
+        out = sb.apply_7pt_nb(_mv(p), (_mv(wxl), _mv(wyl), _mv(wzl)),
+                              interpret=_interp())
+        return jnp.moveaxis(out, -1, 0), True
+    ax = [0 if b else None for b in in_batched]
+    out = jax.vmap(lambda q, a, b_, c: apply_7pt(
+        q, (a, b_, c), interpret=_interp()), in_axes=ax)(p, wxl, wyl, wzl)
+    return out, True
+
+
+@custom_vmap
+def apply_7pt_diag_v(p, wxl, wyl, wzl, diag):
+    """A(p) (physical diagonal) — batch-aware routing."""
+    return apply_7pt(p, (wxl, wyl, wzl), diag=diag, interpret=_interp())
+
+
+@apply_7pt_diag_v.def_vmap
+def _apply_7pt_diag_v_rule(axis_size, in_batched, p, wxl, wyl, wzl, diag):
+    from openfoam_tpp_tpu.ops.pallas import seven_point_batch as sb
+
+    if _batch_ok(axis_size, in_batched, p):
+        out = sb.apply_7pt_nb(_mv(p), (_mv(wxl), _mv(wyl), _mv(wzl)),
+                              diag=_mv(diag), interpret=_interp())
+        return jnp.moveaxis(out, -1, 0), True
+    ax = [0 if b else None for b in in_batched]
+    out = jax.vmap(lambda q, a, b_, c, d: apply_7pt(
+        q, (a, b_, c), diag=d, interpret=_interp()),
+        in_axes=ax)(p, wxl, wyl, wzl, diag)
+    return out, True
+
+
+@custom_vmap
+def resid_scaled_unit_7pt_v(p, wxl, wyl, wzl, b):
+    """b − Â·p — batch-aware routing."""
+    return resid_scaled_7pt(p, (wxl, wyl, wzl), None, b,
+                            interpret=_interp())
+
+
+@resid_scaled_unit_7pt_v.def_vmap
+def _resid_unit_v_rule(axis_size, in_batched, p, wxl, wyl, wzl, b):
+    from openfoam_tpp_tpu.ops.pallas import seven_point_batch as sb
+
+    if _batch_ok(axis_size, in_batched, p):
+        out = sb.resid_scaled_7pt_nb(
+            _mv(p), (_mv(wxl), _mv(wyl), _mv(wzl)), None, _mv(b),
+            interpret=_interp())
+        return jnp.moveaxis(out, -1, 0), True
+    ax = [0 if q else None for q in in_batched]
+    out = jax.vmap(lambda q, a, b_, c, r: resid_scaled_7pt(
+        q, (a, b_, c), None, r, interpret=_interp()),
+        in_axes=ax)(p, wxl, wyl, wzl, b)
+    return out, True
+
+
+@custom_vmap
+def resid_scaled_diag_7pt_v(p, wxl, wyl, wzl, diag, b):
+    """(b − A·p)/diag — batch-aware routing."""
+    return resid_scaled_7pt(p, (wxl, wyl, wzl), diag, b,
+                            interpret=_interp())
+
+
+@resid_scaled_diag_7pt_v.def_vmap
+def _resid_diag_v_rule(axis_size, in_batched, p, wxl, wyl, wzl, diag, b):
+    from openfoam_tpp_tpu.ops.pallas import seven_point_batch as sb
+
+    if _batch_ok(axis_size, in_batched, p):
+        out = sb.resid_scaled_7pt_nb(
+            _mv(p), (_mv(wxl), _mv(wyl), _mv(wzl)), _mv(diag), _mv(b),
+            interpret=_interp())
+        return jnp.moveaxis(out, -1, 0), True
+    ax = [0 if q else None for q in in_batched]
+    out = jax.vmap(lambda q, a, b_, c, d, r: resid_scaled_7pt(
+        q, (a, b_, c), d, r, interpret=_interp()),
+        in_axes=ax)(p, wxl, wyl, wzl, diag, b)
+    return out, True
+
+
+@custom_vmap
+def apply_dot_7pt_v(p, wxl, wyl, wzl):
+    """(Â·p, p·Â·p) — batch-aware routing; the dot is per case."""
+    return apply_dot_7pt(p, (wxl, wyl, wzl), interpret=_interp())
+
+
+@apply_dot_7pt_v.def_vmap
+def _apply_dot_v_rule(axis_size, in_batched, p, wxl, wyl, wzl):
+    from openfoam_tpp_tpu.ops.pallas import seven_point_batch as sb
+
+    if _batch_ok(axis_size, in_batched, p):
+        ap, dots = sb.apply_dot_7pt_nb(
+            _mv(p), (_mv(wxl), _mv(wyl), _mv(wzl)), interpret=_interp())
+        return (jnp.moveaxis(ap, -1, 0), dots), (True, True)
+    ax = [0 if q else None for q in in_batched]
+    out = jax.vmap(lambda q, a, b_, c: apply_dot_7pt(
+        q, (a, b_, c), interpret=_interp()), in_axes=ax)(p, wxl, wyl, wzl)
+    return out, (True, True)
+
+
+@functools.lru_cache(maxsize=None)
+def cheb2_pre_v(lmax: float, lmin_frac: float):
+    """custom_vmap'd cheb2_pre_7pt closed over its static coefficients.
+    The batched rule DECOMPOSES the fused pass into two batch-native
+    kernel applies + elementwise jnp (same math as _kernel_cheb2_pre) —
+    no rank-4 cheb kernel exists, and the Pallas-batching-rule lowering
+    of the fused one is the measured-slow per-case path."""
+
+    @custom_vmap
+    def f(b, wxl, wyl, wzl):
+        return cheb2_pre_7pt(b, (wxl, wyl, wzl), lmax, lmin_frac,
+                             interpret=_interp())
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, b, wxl, wyl, wzl):
+        from openfoam_tpp_tpu.ops.pallas import seven_point_batch as sb
+
+        if _batch_ok(axis_size, in_batched, b):
+            theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
+            bb = _mv(b)
+            w = (_mv(wxl), _mv(wyl), _mv(wzl))
+            x1 = bb / theta
+            d1 = bb - sb.apply_7pt_nb(x1, w, interpret=_interp())
+            x2 = x1 + (c_pp * x1 + c_pd * d1)
+            r = sb.resid_scaled_7pt_nb(x2, w, None, bb,
+                                       interpret=_interp())
+            return ((jnp.moveaxis(x2, -1, 0), jnp.moveaxis(r, -1, 0)),
+                    (True, True))
+        ax = [0 if q else None for q in in_batched]
+        out = jax.vmap(lambda q, a, b_, c: cheb2_pre_7pt(
+            q, (a, b_, c), lmax, lmin_frac, interpret=_interp()),
+            in_axes=ax)(b, wxl, wyl, wzl)
+        return out, (True, True)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def cheb2_post_v(lmax: float, lmin_frac: float, out_dtype=None):
+    """custom_vmap'd cheb2_post_7pt (see cheb2_pre_v)."""
+
+    @custom_vmap
+    def f(x, b, wxl, wyl, wzl):
+        return cheb2_post_7pt(x, b, (wxl, wyl, wzl), lmax, lmin_frac,
+                              out_dtype=out_dtype, interpret=_interp())
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x, b, wxl, wyl, wzl):
+        from openfoam_tpp_tpu.ops.pallas import seven_point_batch as sb
+
+        if _batch_ok(axis_size, in_batched, b):
+            theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
+            xx, bb = _mv(x), _mv(b)
+            w = (_mv(wxl), _mv(wyl), _mv(wzl))
+            d1 = sb.resid_scaled_7pt_nb(xx, w, None, bb,
+                                        interpret=_interp())
+            p1 = d1 / theta
+            x1 = xx + p1
+            d2 = sb.resid_scaled_7pt_nb(x1, w, None, bb,
+                                        interpret=_interp())
+            out = (x1 + (c_pp * p1 + c_pd * d2)).astype(
+                out_dtype or b.dtype)
+            return jnp.moveaxis(out, -1, 0), True
+        ax = [0 if q else None for q in in_batched]
+        out = jax.vmap(lambda s, q, a, b_, c: cheb2_post_7pt(
+            s, q, (a, b_, c), lmax, lmin_frac, out_dtype=out_dtype,
+            interpret=_interp()), in_axes=ax)(x, b, wxl, wyl, wzl)
+        return out, True
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def cheb2_post_dot_v(lmax: float, lmin_frac: float, out_dtype=None):
+    """custom_vmap'd cheb2_post_dot_7pt (see cheb2_pre_v); the rz
+    coupling dot is per case."""
+
+    @custom_vmap
+    def f(x, b, wxl, wyl, wzl):
+        return cheb2_post_dot_7pt(x, b, (wxl, wyl, wzl), lmax, lmin_frac,
+                                  out_dtype=out_dtype, interpret=_interp())
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x, b, wxl, wyl, wzl):
+        from openfoam_tpp_tpu.ops.pallas import seven_point_batch as sb
+
+        if _batch_ok(axis_size, in_batched, b):
+            theta, c_pp, c_pd = _cheb_coefs(lmax, lmin_frac)
+            xx, bb = _mv(x), _mv(b)
+            w = (_mv(wxl), _mv(wyl), _mv(wzl))
+            d1 = sb.resid_scaled_7pt_nb(xx, w, None, bb,
+                                        interpret=_interp())
+            p1 = d1 / theta
+            x1 = xx + p1
+            d2 = sb.resid_scaled_7pt_nb(x1, w, None, bb,
+                                        interpret=_interp())
+            z = (x1 + (c_pp * p1 + c_pd * d2)).astype(out_dtype or b.dtype)
+            rz = jnp.sum(bb.astype(jnp.float32) * z.astype(jnp.float32),
+                         axis=(0, 1, 2), dtype=jnp.float32)
+            return (jnp.moveaxis(z, -1, 0), rz), (True, True)
+        ax = [0 if q else None for q in in_batched]
+        out = jax.vmap(lambda s, q, a, b_, c: cheb2_post_dot_7pt(
+            s, q, (a, b_, c), lmax, lmin_frac, out_dtype=out_dtype,
+            interpret=_interp()), in_axes=ax)(x, b, wxl, wyl, wzl)
+        return out, (True, True)
+
+    return f

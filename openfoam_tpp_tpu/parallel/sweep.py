@@ -84,6 +84,31 @@ def _sync_dt(states: SimState) -> SimState:
     )
 
 
+def _sweep_kernel_policy(axis) -> dict:
+    """SolverControls overrides for a vmapped sweep step
+    (OFTPP_SWEEP_PALLAS):
+      unset ("auto") — batch-native 7-point pressure kernels via the
+        custom_vmap reroute (ops/pallas/seven_point_batch.py); needs the
+        trailing case axis and a TPU backend. Single-grid MULES/momentum
+        kernels stay off (batch_lanes pin, config.py): their vmap
+        lowering is one lane-padded grid program per case — measured
+        slower than the lane-vectorized jnp path (r3 TPU A/B, 130.0M vs
+        142.1M agg cell-updates/s, docs/ROADMAP.md §3b).
+      =interpret — same routing with interpreter-mode kernels (CI
+        coverage on CPU).
+      =1 — legacy: ALL kernels via the pallas batching rule.
+      =0 — everything jnp."""
+    env = os.environ.get("OFTPP_SWEEP_PALLAS", "auto")
+    trailing = axis in (-1, 3)
+    if env == "1":
+        return dict(use_pallas=True, mom_pallas=False)
+    if trailing and (env == "interpret"
+                     or (env == "auto"
+                         and jax.default_backend() == "tpu")):
+        return dict(use_pallas=True, batch_lanes=True, mom_pallas=False)
+    return dict(use_pallas=False, mom_pallas=False)
+
+
 def make_sweep_step(
     geom: TankGeometry,
     props: PhysicalProperties = PhysicalProperties(),
@@ -97,8 +122,13 @@ def make_sweep_step(
     stepping, keeping all cases on a common time axis.
     """
     # The fused momentum-RHS kernel is a single-grid design; under vmap
-    # the case-minor jnp path vectorizes across lanes instead.
-    controls = dataclasses.replace(controls, mom_pallas=False)
+    # the case-minor jnp path vectorizes across lanes instead. The
+    # 7-point pressure kernels DO run batch-native (same policy and env
+    # knob as make_geom_sweep_step below): the operator weights depend
+    # on the batched alpha, so they are batched operands and the
+    # custom_vmap reroute applies even though the geometry is shared.
+    controls = dataclasses.replace(controls,
+                                   **_sweep_kernel_policy(axis))
     step = make_step(geom, props, controls)
     vstep = jax.vmap(step, in_axes=(axis, 0), out_axes=(axis, 0))
 
@@ -194,15 +224,10 @@ def make_geom_sweep_step(
     already reached `t_stop` are HELD (masked identity) while stiffer
     lanes catch up — a lax case takes its solo step count, not the
     batch-stiffest one (VERDICT r3 item 7)."""
-    # Fused stencil kernels under vmap lower via the pallas batching rule
-    # (one grid step per case). For the small per-case grids sweeps run,
-    # the case-minor jnp path vectorizes across lanes instead, which
-    # measured faster — r3 TPU A/B, 128 × 4k-cell cases: 142.1M agg
-    # cell-updates/s jnp vs 130.0M with kernels — so kernels stay
-    # opt-in here (OFTPP_SWEEP_PALLAS=1; see docs/ROADMAP.md §3b).
-    if os.environ.get("OFTPP_SWEEP_PALLAS") != "1":
-        controls = dataclasses.replace(controls, use_pallas=False)
-    controls = dataclasses.replace(controls, mom_pallas=False)
+    # Kernels under vmap: see _sweep_kernel_policy (batch-native 7-point
+    # pressure kernels by default on TPU with the trailing case axis).
+    controls = dataclasses.replace(controls,
+                                   **_sweep_kernel_policy(bgeom.axis))
     axis_name = "case" if lockstep else None
     core = make_step_core(props, controls, open_top=True,
                           sync_axis=axis_name)

@@ -140,8 +140,9 @@ def _weights_apply(level: _Level, p):
                                 diag=None if level.unit_diag else level.diag)
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        return sp.apply_7pt(p, level.split,
-                            None if level.unit_diag else level.diag)
+        if level.unit_diag:
+            return sp.apply_7pt_v(p, *level.split)
+        return sp.apply_7pt_diag_v(p, *level.split, level.diag)
     wx, wy, wz = level.wx, level.wy, level.wz
     nb = (
         wx[:-1] * st.shift_down(p, 0) + wx[1:] * st.shift_up(p, 0)
@@ -165,8 +166,9 @@ def _resid_scaled(level: _Level, x, b):
                 diag=None if level.unit_diag else level.diag)
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        return sp.resid_scaled_7pt(x, level.split,
-                                   None if level.unit_diag else level.diag, b)
+        if level.unit_diag:
+            return sp.resid_scaled_unit_7pt_v(x, *level.split, b)
+        return sp.resid_scaled_diag_7pt_v(x, *level.split, level.diag, b)
     if level.unit_diag:
         return b - _weights_apply(level, x)
     return (b - _weights_apply(level, x)) / level.diag
@@ -236,8 +238,8 @@ def _smooth_pre_resid(level: _Level, b):
     if _fused_cheb2(level):
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        return sp.cheb2_pre_7pt(b, level.split, _CHEB_LMAX,
-                                _CHEB_LMIN_FRAC)
+        return sp.cheb2_pre_v(_CHEB_LMAX, _CHEB_LMIN_FRAC)(
+            b, *level.split)
     x = _smooth(level, None, b, _SMOOTH_SWEEPS)
     r = (_resid_scaled(level, x, b) if level.unit_diag
          else b - _weights_apply(level, x))
@@ -251,8 +253,8 @@ def _smooth_post(level: _Level, x, b, out_dtype=None):
     if _fused_cheb2(level):
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        return sp.cheb2_post_7pt(x, b, level.split, _CHEB_LMAX,
-                                 _CHEB_LMIN_FRAC, out_dtype=out_dtype)
+        return sp.cheb2_post_v(_CHEB_LMAX, _CHEB_LMIN_FRAC,
+                               out_dtype=out_dtype)(x, b, *level.split)
     x = _smooth(level, x, b, _SMOOTH_SWEEPS)
     return x if out_dtype is None else x.astype(out_dtype)
 
@@ -402,8 +404,9 @@ def _vcycle_hybrid(top_hat, inv_s, levels_coarse, b, out_dtype=None,
     if with_dot and _fused_cheb2(top_hat):
         from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
-        return sp.cheb2_post_dot_7pt(x, b, top_hat.split, _CHEB_LMAX,
-                                     _CHEB_LMIN_FRAC, out_dtype=out_dtype)
+        return sp.cheb2_post_dot_v(_CHEB_LMAX, _CHEB_LMIN_FRAC,
+                                   out_dtype=out_dtype)(
+            x, b, *top_hat.split)
     x = _smooth_post(top_hat, x, b, out_dtype)
     return (x, None) if with_dot else x
 
@@ -527,7 +530,7 @@ def build_operator(geom_arrays, spacing, rho, top_open, use_pallas=False,
             from openfoam_tpp_tpu.ops.pallas import seven_point as sp
 
             def apply_dot_hat(p):
-                return sp.apply_dot_7pt(p, top_hat.split)
+                return sp.apply_dot_7pt_v(p, *top_hat.split)
 
     problem = PoissonProblem(
         apply=apply, precond=None, diag=diag0, fluid=fluid,

@@ -291,7 +291,12 @@ def make_step_core(
             c_alpha=controls.c_alpha,
             n_subcycles=controls.n_alpha_subcycles,
             n_limiter_iters=controls.n_limiter_iters,
-            use_pallas=controls.use_pallas,
+            # batch_lanes (vmapped sweeps): the MULES kernels are
+            # single-grid programs whose vmap lowering runs one grid
+            # step per case (lane-padded) — slower than the
+            # lane-vectorized jnp path; only the 7-point pressure
+            # kernels have batch-native variants (config.py).
+            use_pallas=controls.use_pallas and not controls.batch_lanes,
             fct_bf16=_fct_bf16_enabled(controls),
             spmd=spmd,
         )
